@@ -1,0 +1,584 @@
+"""Stochastic vector-compression kernels (the FRI heart), TPU-native.
+
+Re-designs FRIES/compress_utils.{hpp,cpp} for a static-shape SPMD compiler:
+
+* ``find_preserve`` (reference compress_utils.cpp:29-105): the sequential
+  max-heap greedy "preserve the largest exactly" rule becomes a *threshold
+  fixpoint*: repeatedly keep every element with |v_i| >= S_rem/budget_rem until
+  no additions.  The fixpoint set equals the reference's greedy set (verified
+  against a sequential port in tests/test_compress.py).
+* ``sys_comp`` (compress_utils.cpp:278-351): systematic (stratified)
+  resampling becomes an exclusive prefix sum + shared random grid; the MPI
+  broadcast of the grid seed (compress_utils.cpp:291) becomes using the same
+  PRNG key on every shard, and the rank-prefix offset (``seed_sys``,
+  compress_utils.cpp:107-127) becomes an ``all_gather`` of shard norms.
+* ``comp_sub`` (find_keep_sub + sys_sub, compress_utils.cpp:130-276, 702-820):
+  hierarchical compression over elements subdivided uniformly (``ndiv``) or by
+  weight rows.  Emission uses an output-slot inversion - each of the
+  statically-shaped output slots looks up its (parent, sub) source - so no
+  dynamic expansion is ever required.
+* ``round_binomially`` (compress_utils.cpp:19-27), shift controllers
+  (compress_utils.cpp:684-700), and Walker alias tables (compress_utils.cpp:
+  823-897) round out the module.
+
+Collectives: every function takes ``axis_name=None``; pass the mesh axis name
+when running under ``shard_map`` and the same code runs on 1..N chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# collective helpers
+# ---------------------------------------------------------------------------
+
+def _gsum(x, axis_name):
+    return lax.psum(x, axis_name) if axis_name else x
+
+
+def _prefix_sum_over_shards(local: jax.Array, axis_name):
+    """Sum of ``local`` over shards with lower axis index (0 on one shard)."""
+    if not axis_name:
+        return jnp.zeros_like(local)
+    all_vals = lax.all_gather(local, axis_name)
+    idx = lax.axis_index(axis_name)
+    mask = jnp.arange(all_vals.shape[0]) < idx
+    return jnp.sum(jnp.where(mask, all_vals, 0), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# stochastic rounding (reference round_binomially, compress_utils.cpp:19-27)
+# ---------------------------------------------------------------------------
+
+def round_binomially(key: jax.Array, p: jax.Array, n: jax.Array) -> jax.Array:
+    """Unbiased integer rounding: floor(p)*n + Binomial(n, frac(p)).
+
+    ``p`` may be any float array; ``n`` a matching integer array (number of
+    independent rounding trials per element).
+    """
+    flr = jnp.floor(p)
+    frac = p - flr
+    draws = jax.random.binomial(key, n.astype(jnp.float32), frac.astype(jnp.float32))
+    return flr.astype(jnp.int32) * n.astype(jnp.int32) + draws.astype(jnp.int32)
+
+
+def stochastic_round(key: jax.Array, p: jax.Array) -> jax.Array:
+    """Round each element to floor or ceil, unbiased (n=1 case)."""
+    flr = jnp.floor(p)
+    frac = p - flr
+    u = jax.random.uniform(key, p.shape, dtype=p.dtype)
+    return flr + (u < frac).astype(p.dtype)
+
+
+# ---------------------------------------------------------------------------
+# exact preservation (reference find_preserve, compress_utils.cpp:29-105)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("axis_name", "max_rounds"))
+def find_preserve(
+    abs_vals: jax.Array,
+    n_samp: jax.Array,
+    axis_name: str | None = None,
+    max_rounds: int = 64,
+):
+    """Select elements to preserve exactly before stochastic resampling.
+
+    An element is preserved when its magnitude is at least the remaining mean
+    mass per remaining sample, iterated to a fixpoint.
+
+    Args:
+      abs_vals: (N,) nonnegative magnitudes (zeros are ignored).
+      n_samp:   total (global) sample budget, int.
+
+    Returns:
+      keep:        (N,) bool preservation mask.
+      n_samp_left: global budget remaining for stochastic samples (int32).
+      loc_norm:    this shard's 1-norm of non-preserved elements (f64).
+
+    The returned budget is zero when the residual global norm is negligible
+    (reference semantics, compress_utils.cpp:93-96).
+    """
+    abs_vals = abs_vals.astype(jnp.float64)
+    n_samp = jnp.asarray(n_samp, dtype=jnp.int32)
+
+    def cond(state):
+        keep, n_added, rounds = state
+        return (n_added > 0) & (rounds < max_rounds)
+
+    def body(state):
+        keep, _, rounds = state
+        rem_mask = (~keep) & (abs_vals > 0)
+        loc_norm = jnp.sum(jnp.where(rem_mask, abs_vals, 0.0))
+        glob_norm = _gsum(loc_norm, axis_name)
+        n_kept = _gsum(jnp.sum(keep, dtype=jnp.int32), axis_name)
+        budget = jnp.maximum(n_samp - n_kept, 0)
+        threshold = jnp.where(
+            budget > 0, glob_norm / jnp.maximum(budget, 1).astype(jnp.float64), jnp.inf
+        )
+        new_keep = keep | (rem_mask & (abs_vals >= threshold))
+        n_added = _gsum(
+            jnp.sum(new_keep & ~keep, dtype=jnp.int32), axis_name
+        )
+        return new_keep, n_added, rounds + 1
+
+    keep0 = jnp.zeros(abs_vals.shape, dtype=jnp.bool_)
+    keep, _, _ = lax.while_loop(cond, body, (keep0, jnp.int32(1), jnp.int32(0)))
+
+    rem_mask = (~keep) & (abs_vals > 0)
+    loc_norm = jnp.sum(jnp.where(rem_mask, abs_vals, 0.0))
+    glob_norm = _gsum(loc_norm, axis_name)
+    n_kept = _gsum(jnp.sum(keep, dtype=jnp.int32), axis_name)
+    n_samp_left = jnp.maximum(n_samp - n_kept, 0)
+    n_samp_left = jnp.where(glob_norm < 1e-9, 0, n_samp_left)
+    return keep, n_samp_left, loc_norm
+
+
+# ---------------------------------------------------------------------------
+# systematic resampling (reference sys_comp, compress_utils.cpp:278-351)
+# ---------------------------------------------------------------------------
+
+def _grid_count_below(x, rn, unit):
+    """Number of grid points (rn + k)*unit, k >= 0, strictly below x."""
+    raw = jnp.floor(x / unit - rn) + 1
+    return jnp.maximum(raw, 0.0).astype(jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def sys_comp(
+    vals: jax.Array,
+    keep: jax.Array,
+    n_samp: jax.Array,
+    rn: jax.Array,
+    loc_norm: jax.Array,
+    axis_name: str | None = None,
+):
+    """Systematic resampling of the non-preserved elements.
+
+    Preserved elements pass through unchanged; each non-preserved element is
+    replaced by sign * glob_norm/n_samp times the number of shared-grid points
+    landing in its interval (0 for most).  Unbiased: E[out] = in.
+
+    Args:
+      vals:     (N,) signed values.
+      keep:     (N,) preservation mask from :func:`find_preserve`.
+      n_samp:   remaining global sample budget (0 -> zero all non-preserved).
+      rn:       shared uniform random number in [0, 1) - must be identical on
+                every shard (same PRNG key).
+      loc_norm: this shard's non-preserved 1-norm (from find_preserve).
+
+    Returns new values (N,), same dtype as ``vals``.
+    """
+    dtype = vals.dtype
+    vals64 = vals.astype(jnp.float64)
+    absw = jnp.where(~keep, jnp.abs(vals64), 0.0)
+    glob_norm = _gsum(loc_norm, axis_name)
+    lbound = _prefix_sum_over_shards(loc_norm, axis_name)
+
+    unit = jnp.where(n_samp > 0, glob_norm / jnp.maximum(n_samp, 1), jnp.inf)
+    cum = lbound + jnp.cumsum(absw) - absw  # exclusive prefix within shard
+    n_below_start = _grid_count_below(cum, rn, unit)
+    n_below_end = _grid_count_below(cum + absw, rn, unit)
+    hits = (n_below_end - n_below_start).astype(jnp.float64)
+    sampled_val = jnp.sign(vals64) * hits * unit
+    new_vals = jnp.where(keep, vals64, jnp.where(n_samp > 0, sampled_val, 0.0))
+    return new_vals.astype(dtype)
+
+
+def compress_vector(
+    vals: jax.Array,
+    n_samp: jax.Array,
+    rn: jax.Array,
+    axis_name: str | None = None,
+):
+    """find_preserve + sys_comp in one call (the per-iteration vector step)."""
+    keep, n_left, loc_norm = find_preserve(jnp.abs(vals), n_samp, axis_name=axis_name)
+    return sys_comp(vals, keep, n_left, rn, loc_norm, axis_name=axis_name)
+
+
+# ---------------------------------------------------------------------------
+# pivotal resampling (reference piv_samp_serial, compress_utils.cpp:390-527)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def piv_comp_serial(key: jax.Array, vals: jax.Array, keep: jax.Array, n_samp, loc_norm):
+    """Pivotal resampling of the non-preserved elements of one shard.
+
+    Log-depth tournament formulation of Srinivasan's pivotal sampling: sampling
+    units are the systematic strata; within each stratum elements duel pairwise
+    so inclusion is +/-1-correlated only locally.  Like the reference
+    (compress_utils.cpp:390-527) each element is selected at most once and
+    E[out] = in.
+
+    This implementation uses the equivalent "ordered pivotal sampling"
+    formulation: with inclusion probabilities p_i = |v_i|/unit summing to
+    n_samp, strata boundaries at integers of the cumulative p, the element
+    straddling each boundary duels the stratum residual.  Here we implement it
+    as a sequential scan (lax.scan over elements), which is exact and O(N) -
+    adequate because pivotal compression is only used by the subspace drivers
+    where N is the post-preservation remainder.
+    """
+    dtype = vals.dtype
+    vals64 = vals.astype(jnp.float64)
+    absw = jnp.where(~keep, jnp.abs(vals64), 0.0)
+    n = vals.shape[0]
+    unit = jnp.where(n_samp > 0, loc_norm / jnp.maximum(n_samp, 1), jnp.inf)
+    p = jnp.where(absw > 0, absw / unit, 0.0)  # inclusion probabilities
+
+    uniforms = jax.random.uniform(key, (n,), dtype=jnp.float64)
+
+    # Sequential pairwise duel (Deville-Tille pivotal method in natural order):
+    # carry = (residual probability, residual index, residual selected?)
+    def step(carry, inp):
+        res_p, res_idx, out_sel = carry
+        pi, u, idx = inp
+        active = pi > 0
+        tot = res_p + pi
+
+        def duel(res_p, pi, u):
+            # combined mass < 1: one of the two survives as residual
+            take_new = u < pi / jnp.maximum(tot, 1e-300)
+            return take_new
+
+        def spill(res_p, pi, u):
+            # combined mass >= 1: one is selected, remainder carries on
+            sel_new = u < (1.0 - res_p) / jnp.maximum(2.0 - tot, 1e-300)
+            return sel_new
+
+        small = tot < 1.0
+        take_new = duel(res_p, pi, u)
+        sel_new = spill(res_p, pi, u)
+
+        # case tot < 1: winner takes mass tot, loser dies (select prob 0)
+        new_res_p_small = tot
+        new_res_idx_small = jnp.where(take_new, idx, res_idx)
+        sel_now_small = jnp.int32(-1)  # nobody finalized
+
+        # case tot >= 1: selected element finalized with value unit,
+        # the other continues with mass tot - 1
+        sel_idx_big = jnp.where(sel_new, idx, res_idx)
+        cont_idx_big = jnp.where(sel_new, res_idx, idx)
+        new_res_p_big = tot - 1.0
+        new_res_idx_big = cont_idx_big
+
+        new_res_p = jnp.where(small, new_res_p_small, new_res_p_big)
+        new_res_idx = jnp.where(small, new_res_idx_small, new_res_idx_big)
+        finalized = jnp.where(small, sel_now_small, sel_idx_big)
+
+        new_res_p = jnp.where(active, new_res_p, res_p)
+        new_res_idx = jnp.where(active, new_res_idx, res_idx)
+        finalized = jnp.where(active, finalized, jnp.int32(-1))
+        return (new_res_p, new_res_idx, out_sel), finalized
+
+    init = (jnp.float64(0.0), jnp.int32(-1), jnp.int32(-1))
+    (res_p, res_idx, _), finalized = lax.scan(
+        step, init, (p, uniforms, jnp.arange(n, dtype=jnp.int32))
+    )
+    # final residual survives with probability res_p
+    last_u = jax.random.uniform(jax.random.fold_in(key, 1), dtype=jnp.float64)
+    res_selected = (last_u < res_p) & (res_idx >= 0)
+
+    selected = jnp.zeros((n,), dtype=jnp.bool_)
+    selected = selected.at[jnp.where(finalized >= 0, finalized, n)].set(
+        True, mode="drop"
+    )
+    selected = selected.at[jnp.where(res_selected, res_idx, n)].set(True, mode="drop")
+
+    sampled_val = jnp.sign(vals64) * unit
+    new_vals = jnp.where(
+        keep, vals64, jnp.where(selected & (n_samp > 0), sampled_val, 0.0)
+    )
+    return new_vals.astype(dtype)
+
+
+def piv_budget(key, shard_norms: jax.Array, n_samp):
+    """Integer per-shard budgets from shard norms with pivotal remainders.
+
+    Deterministic floor allocation plus pivotal sampling of the fractional
+    remainders (reference piv_budget, compress_utils.cpp:560-615).  Every
+    shard computes the same result from the gathered norms (no scatter).
+    """
+    glob = jnp.sum(shard_norms)
+    n_samp = jnp.asarray(n_samp, jnp.int32)
+    unit = glob / jnp.maximum(n_samp, 1)
+    base = jnp.floor(shard_norms / jnp.maximum(unit, 1e-300)).astype(jnp.int32)
+    frac = shard_norms / jnp.maximum(unit, 1e-300) - base
+    short = n_samp - jnp.sum(base)
+    keep = jnp.zeros(shard_norms.shape, jnp.bool_)
+    extra = piv_comp_serial(
+        key,
+        frac,
+        keep,
+        short,
+        jnp.sum(frac),
+    )
+    return base + (extra > 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# subdivided (hierarchical) compression
+# reference find_keep_sub/sys_sub/comp_sub, compress_utils.cpp:130-276,702-820
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("out_size", "axis_name", "max_rounds"))
+def comp_sub(
+    values: jax.Array,
+    ndiv: jax.Array,
+    sub_weights: jax.Array,
+    sub_mask: jax.Array,
+    n_samp,
+    rn: jax.Array,
+    out_size: int,
+    axis_name: str | None = None,
+    max_rounds: int = 64,
+):
+    """One level of hierarchical compression.
+
+    Each parent element i carries nonnegative weight ``values[i]`` subdivided
+    either uniformly into ``ndiv[i]`` parts (when ndiv[i] > 0) or according to
+    the normalized probability row ``sub_weights[i, :]`` (when ndiv[i] == 0;
+    entries with ``sub_mask`` False are ignored).  Sub-elements above the FRI
+    preservation threshold are kept exactly; the remainder is systematically
+    resampled on a shared grid.  Unbiased: E[sum of outputs mapped back] = in.
+
+    Args:
+      values:      (N,) parent weights (>= 0; 0 = inactive parent).
+      ndiv:        (N,) int32 uniform-subdivision counts (0 = weighted).
+      sub_weights: (N, K) probability rows, each summing to 1 over sub_mask.
+      sub_mask:    (N, K) bool validity of weighted subs.
+      n_samp:      total (global) sample budget.
+      rn:          shared uniform in [0, 1) (identical on all shards).
+      out_size:    static output capacity M.
+
+    Returns (out_vals (M,), out_parent (M,) int32, out_sub (M,) int32,
+    n_out (int32 count of valid slots), overflowed (bool)).
+    """
+    n, k = sub_weights.shape
+    values = values.astype(jnp.float64)
+    sub_weights = sub_weights.astype(jnp.float64)
+    n_samp = jnp.asarray(n_samp, jnp.int32)
+
+    uniform = (ndiv > 0) & (values > 0)
+    weighted = (ndiv == 0) & (values > 0)
+    # per-sub masses for weighted parents
+    w_sub = jnp.where(weighted[:, None] & sub_mask, values[:, None] * sub_weights, 0.0)
+    w_uni = jnp.where(uniform, values, 0.0)
+    ndiv_f = jnp.maximum(ndiv, 1).astype(jnp.float64)
+
+    # ---- preservation fixpoint (reference find_keep_sub) ----
+    def cond(state):
+        _, _, n_added, rounds = state
+        return (n_added > 0) & (rounds < max_rounds)
+
+    def body(state):
+        keep_sub, keep_uni, _, rounds = state
+        rem_sub = jnp.where(keep_sub, 0.0, w_sub)
+        rem_uni = jnp.where(keep_uni, 0.0, w_uni)
+        loc_norm = jnp.sum(rem_sub) + jnp.sum(rem_uni)
+        glob_norm = _gsum(loc_norm, axis_name)
+        kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
+            jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
+        )
+        budget = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
+        thr = jnp.where(
+            budget > 0, glob_norm / jnp.maximum(budget, 1).astype(jnp.float64), jnp.inf
+        )
+        new_keep_sub = keep_sub | ((w_sub > 1e-12) & (w_sub >= thr))
+        new_keep_uni = keep_uni | ((w_uni > 0) & (w_uni / ndiv_f >= thr))
+        n_added = _gsum(
+            jnp.sum(new_keep_sub & ~keep_sub, dtype=jnp.int32)
+            + jnp.sum(new_keep_uni & ~keep_uni, dtype=jnp.int32),
+            axis_name,
+        )
+        return new_keep_sub, new_keep_uni, n_added, rounds + 1
+
+    keep_sub0 = jnp.zeros((n, k), jnp.bool_)
+    keep_uni0 = jnp.zeros((n,), jnp.bool_)
+    keep_sub, keep_uni, _, _ = lax.while_loop(
+        cond, body, (keep_sub0, keep_uni0, jnp.int32(1), jnp.int32(0))
+    )
+
+    rem_sub = jnp.where(keep_sub, 0.0, w_sub)
+    rem_uni = jnp.where(keep_uni, 0.0, w_uni)
+    loc_norm = jnp.sum(rem_sub) + jnp.sum(rem_uni)
+    glob_norm = _gsum(loc_norm, axis_name)
+    kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
+        jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
+    )
+    n_grid = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
+    n_grid = jnp.where(glob_norm / jnp.maximum(n_grid, 1) < 1e-8, 0, n_grid)
+    unit = jnp.where(n_grid > 0, glob_norm / jnp.maximum(n_grid, 1), jnp.inf)
+
+    # ---- emission bookkeeping ----
+    # per-parent non-kept mass; cumulative in parent-major order across shards
+    parent_rem = jnp.sum(rem_sub, axis=1) + rem_uni  # (N,)
+    shard_lbound = _prefix_sum_over_shards(loc_norm, axis_name)
+    cum_parent = shard_lbound + jnp.cumsum(parent_rem) - parent_rem  # exclusive
+
+    # grid hits per parent
+    g_start = _grid_count_below(cum_parent, rn, unit)
+    g_end = _grid_count_below(cum_parent + parent_rem, rn, unit)
+    grid_counts = jnp.where(n_grid > 0, (g_end - g_start), 0).astype(jnp.int32)
+
+    # kept-emission counts per parent
+    kept_counts = jnp.where(keep_uni, ndiv, jnp.sum(keep_sub, axis=1, dtype=jnp.int32))
+    counts = kept_counts + grid_counts
+    offsets = jnp.cumsum(counts) - counts  # exclusive, local to this shard
+    total = jnp.sum(counts)
+    overflow = total > out_size
+
+    # inverse map: r-th kept sub of weighted parent i -> column j
+    kept_rank = jnp.cumsum(keep_sub.astype(jnp.int32), axis=1) - 1
+    inv_kept = jnp.full((n, k), 0, dtype=jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    cols = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (n, k))
+    inv_kept = inv_kept.at[
+        rows, jnp.where(keep_sub, kept_rank, k)
+    ].set(cols, mode="drop")
+
+    # per-row exclusive cumsum of non-kept sub masses (for grid-hit sub lookup)
+    row_cum = jnp.cumsum(rem_sub, axis=1) - rem_sub
+
+    # ---- output-slot inversion ----
+    slot = jnp.arange(out_size, dtype=jnp.int32)
+    valid = slot < total
+    # parent of each slot: searchsorted on offsets (find last offset <= slot)
+    parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+    parent = jnp.clip(parent, 0, n - 1)
+    r = slot - offsets[parent]
+    is_kept_emit = r < kept_counts[parent]
+    p_uniform = uniform[parent]
+
+    # kept emissions
+    kept_sub_idx = jnp.where(
+        p_uniform, r, inv_kept[parent, jnp.clip(r, 0, k - 1)]
+    )
+    kept_val = jnp.where(
+        p_uniform,
+        values[parent] / ndiv_f[parent],
+        w_sub[parent, jnp.clip(kept_sub_idx, 0, k - 1)],
+    )
+
+    # grid-hit emissions
+    g = g_start[parent] + (r - kept_counts[parent]).astype(jnp.int64)
+    x = (rn + g.astype(jnp.float64)) * unit  # grid point position
+    y = x - cum_parent[parent]  # offset into parent's non-kept mass
+    # uniform parent: sub index from uniform split of parent mass
+    uni_sub = jnp.clip(
+        jnp.floor(y / jnp.maximum(parent_rem[parent], 1e-300) * ndiv_f[parent]),
+        0,
+        ndiv_f[parent] - 1,
+    ).astype(jnp.int32)
+    # weighted parent: first non-kept sub whose cumulative exceeds y
+    y_col = y[:, None]
+    wt_sub = (
+        jnp.sum(
+            ((row_cum[parent] + rem_sub[parent]) <= y_col) & (rem_sub[parent] > 0),
+            axis=1,
+            dtype=jnp.int32,
+        )
+    )
+    # map count of exhausted subs to the actual column index of the next
+    # non-kept sub: count of nonkept columns strictly before target == wt_sub
+    nonkept_rank = jnp.cumsum((rem_sub > 0).astype(jnp.int32), axis=1) - 1
+    inv_nonkept = jnp.full((n, k), 0, dtype=jnp.int32)
+    inv_nonkept = inv_nonkept.at[
+        rows, jnp.where(rem_sub > 0, nonkept_rank, k)
+    ].set(cols, mode="drop")
+    wt_sub_col = inv_nonkept[parent, jnp.clip(wt_sub, 0, k - 1)]
+
+    grid_sub_idx = jnp.where(p_uniform, uni_sub, wt_sub_col)
+    grid_val = unit
+
+    out_sub = jnp.where(is_kept_emit, kept_sub_idx, grid_sub_idx)
+    out_val = jnp.where(is_kept_emit, kept_val, grid_val)
+    out_val = jnp.where(valid, out_val, 0.0)
+    out_parent = jnp.where(valid, parent, -1)
+    out_sub = jnp.where(valid, out_sub, -1)
+    return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
+
+
+# ---------------------------------------------------------------------------
+# energy-shift controllers (reference adjust_shift, compress_utils.cpp:684-700)
+# ---------------------------------------------------------------------------
+
+def adjust_shift(shift, one_norm, last_norm, target_norm, damp_factor):
+    """Norm-control energy shift update.  Returns (new_shift, new_last_norm).
+
+    Inactive until the norm first exceeds ``target_norm``; afterwards
+    S <- S - damp * log(norm / last_norm).
+    """
+    active = last_norm != 0
+    new_shift = jnp.where(
+        active, shift - damp_factor * jnp.log(one_norm / jnp.where(active, last_norm, 1.0)), shift
+    )
+    new_last = jnp.where(
+        active, one_norm, jnp.where(one_norm > target_norm, one_norm, last_norm)
+    )
+    return new_shift, new_last
+
+
+def adjust_shift2(shift, one_norm, last_norm, damp_factor):
+    """Multiplicative norm-factor controller for subspace iteration
+    (reference adjust_shift2, compress_utils.cpp:695-700)."""
+    new_shift = shift ** (1 - damp_factor) * (one_norm / last_norm) ** damp_factor
+    new_last = last_norm**damp_factor * (one_norm / shift) ** (1 - damp_factor)
+    return new_shift, new_last
+
+
+# ---------------------------------------------------------------------------
+# Walker alias tables (reference setup_alias/sample_alias,
+# compress_utils.cpp:823-897).  Hot paths use inverse-CDF searchsorted instead,
+# but the alias utilities are provided for parity and for CPU-side sampling.
+# ---------------------------------------------------------------------------
+
+def setup_alias(probs: np.ndarray):
+    """Build Walker/Vose alias tables for one distribution (numpy, host-side)."""
+    probs = np.asarray(probs, dtype=np.float64)
+    n = probs.shape[0]
+    aliases = np.arange(n, dtype=np.int64)
+    alias_probs = n * probs.copy()
+    small = [i for i in range(n) if alias_probs[i] < 1]
+    big = [i for i in range(n) if alias_probs[i] >= 1]
+    while small and big:
+        s = small.pop()
+        b = big[-1]
+        aliases[s] = b
+        alias_probs[b] += alias_probs[s] - 1
+        if alias_probs[b] < 1:
+            small.append(b)
+            big.pop()
+    return aliases, alias_probs
+
+
+def sample_alias(key, aliases, alias_probs, shape):
+    """Draw samples from an alias table (vectorized)."""
+    aliases = jnp.asarray(aliases)
+    alias_probs = jnp.asarray(alias_probs)
+    n = aliases.shape[0]
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, shape, 0, n)
+    u = jax.random.uniform(k2, shape, dtype=jnp.float64)
+    return jnp.where(u < alias_probs[idx], idx, aliases[idx]).astype(jnp.int32)
+
+
+def sample_categorical_rows(key, probs: jax.Array, valid: jax.Array | None = None):
+    """Inverse-CDF sample one index per row of a batch of small distributions.
+
+    This is the TPU replacement for per-sample alias tables in the hierarchical
+    samplers: rows are short (<= n_states), so a cumsum + compare per row is
+    cheaper than building tables.
+    """
+    p = probs.astype(jnp.float64)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
+    tot = jnp.sum(p, axis=-1, keepdims=True)
+    cum = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=jnp.float64) * tot
+    return jnp.sum((cum <= u).astype(jnp.int32), axis=-1)

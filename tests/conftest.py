@@ -1,0 +1,19 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are exercised without TPU hardware by forcing the
+host platform with 8 virtual devices (the driver's dryrun does the same).
+Set FRIES_TPU_TEST_ON_TPU=1 to run the suite on real accelerators instead.
+"""
+
+import os
+import sys
+
+if not os.environ.get("FRIES_TPU_TEST_ON_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
