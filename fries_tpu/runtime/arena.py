@@ -1,0 +1,330 @@
+"""Sorted capacity-padded sparse-vector arena.
+
+TPU-native replacement for the reference's hash-table distributed vector
+(DistVec + HashTable + Adder, FRIES/vec_utils.hpp:51-1048,
+FRIES/det_hash.hpp): one chip's shard of the solution vector is a fixed
+capacity struct-of-arrays *sorted by determinant key*, with
+
+* accumulation of spawned contributions via concat -> sort -> segment-sum
+  (replaces Adder::perform_add + DistVec::add_elements,
+  vec_utils.hpp:991-1019, 606-641),
+* the initiator rule expressed as a per-segment mask (a spawn from a
+  non-initiator parent only counts when its target determinant already exists
+  in the arena with a nonzero origin-row value; vec_utils.hpp:631-639),
+* binary search instead of hash lookup for dot products and membership
+  (vec_utils.hpp:228-275),
+* stable masked compaction instead of per-entry deletion + free-list
+  (vec_utils.hpp:458-499).
+
+Empty slots carry the all-ones sentinel key, which sorts after every valid
+determinant, so the occupied prefix is contiguous and sorted.  All operations
+are static-shape and jit-compatible; ``n_used`` is a traced scalar.
+
+Multi-row values: like the reference (vec_utils.hpp:123), the arena holds
+``n_vecs`` parallel value rows over one shared index set, used by the
+subspace-iteration and observable drivers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fries_tpu import dets
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Arena:
+    """One shard of the sparse solution vector.
+
+    Attributes:
+      keys:  (C, W) uint32 determinant words, sorted ascending, sentinel-padded.
+      vals:  (R, C) value rows.
+      occ:   (C, E) int32 occupied-orbital lists (cached, like
+             DistVec::occ_orbs_, vec_utils.hpp:134).
+      diag:  (C,) diagonal matrix elements (cached, like DistVec::matr_el_,
+             vec_utils.hpp:139; semantics defined by the driver).
+      n_used: () int32 number of occupied slots.
+    """
+
+    keys: jax.Array
+    vals: jax.Array
+    occ: jax.Array
+    diag: jax.Array
+    n_used: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def n_words(self) -> int:
+        return self.keys.shape[1]
+
+    @property
+    def n_vecs(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def valid(self) -> jax.Array:
+        return ~dets.is_invalid(self.keys)
+
+
+def make(capacity: int, n_words: int, n_vecs: int, n_elec: int,
+         val_dtype=jnp.float64) -> Arena:
+    """An empty arena."""
+    return Arena(
+        keys=jnp.tile(dets.invalid_det(n_words), (capacity, 1)),
+        vals=jnp.zeros((n_vecs, capacity), dtype=val_dtype),
+        occ=jnp.zeros((capacity, n_elec), dtype=jnp.int32),
+        diag=jnp.zeros((capacity,), dtype=jnp.float64),
+        n_used=jnp.int32(0),
+    )
+
+
+def _sort_perm(keys: jax.Array) -> jax.Array:
+    """Permutation sorting rows of ``keys`` lexicographically (stable)."""
+    n = keys.shape[0]
+    operands = dets.sort_key_columns(keys) + [jnp.arange(n, dtype=jnp.int32)]
+    sorted_ops = lax.sort(operands, num_keys=keys.shape[1], is_stable=True)
+    return sorted_ops[-1]
+
+
+@jax.jit
+def from_unsorted(arena: Arena, keys, vals, occ, diag) -> Arena:
+    """Populate an empty arena from unsorted (possibly sentinel-padded) rows.
+
+    ``vals`` has shape (R, N) with N <= capacity; duplicate keys are NOT
+    merged here (use :func:`accumulate` for that).
+    """
+    c = arena.capacity
+    n = keys.shape[0]
+    pad = c - n
+    if pad:
+        keys = jnp.concatenate([keys, jnp.tile(dets.invalid_det(arena.n_words), (pad, 1))])
+        vals = jnp.concatenate([vals, jnp.zeros((vals.shape[0], pad), vals.dtype)], axis=1)
+        occ = jnp.concatenate([occ, jnp.zeros((pad, occ.shape[1]), occ.dtype)])
+        diag = jnp.concatenate([diag, jnp.zeros((pad,), diag.dtype)])
+    perm = _sort_perm(keys)
+    keys = keys[perm]
+    return Arena(
+        keys=keys,
+        vals=vals[:, perm].astype(arena.vals.dtype),
+        occ=occ[perm],
+        diag=diag[perm].astype(jnp.float64),
+        n_used=jnp.sum(~dets.is_invalid(keys), dtype=jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("origin_row", "dest_row"))
+def accumulate(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_occ: jax.Array,
+    spawn_diag: jax.Array,
+    spawn_ini: jax.Array,
+    origin_row: int = 0,
+    dest_row: int = 0,
+):
+    """Merge spawned contributions into the arena with initiator semantics.
+
+    Invalid spawn slots must carry the sentinel key (their values are ignored).
+    The contribution of each valid spawn lands in ``dest_row``; a spawn with
+    ``spawn_ini`` False is dropped unless its determinant is already present
+    with a nonzero ``origin_row`` value (two-pass add semantics of
+    frisys_mol.cpp:430-471 collapse to this single-pass mask - a non-initiator
+    spawn to a determinant created in the same step by an initiator spawn is
+    dropped either way).
+
+    Returns (new_arena, stats) where stats = dict(overflow: bool,
+    nonini_occ_add: int32 count of non-initiator adds to occupied targets,
+    like DistVec::nonini_occ_add, vec_utils.hpp:637).
+    """
+    c, w = arena.keys.shape
+    s = spawn_keys.shape[0]
+    r = arena.n_vecs
+    total = c + s
+
+    spawn_invalid = dets.is_invalid(spawn_keys)
+    arena_valid = arena.valid
+
+    all_keys = jnp.concatenate([arena.keys, spawn_keys])  # arena first: stable
+    perm = _sort_perm(all_keys)
+    sorted_keys = all_keys[perm]
+    is_arena = perm < c
+    src_idx = jnp.where(is_arena, perm, 0)
+    sp_idx = jnp.where(is_arena, 0, perm - c)
+
+    valid = jnp.where(is_arena, arena_valid[src_idx], ~spawn_invalid[sp_idx])
+
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            ~dets.det_eq(sorted_keys[1:], sorted_keys[:-1]),
+        ]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [0, total)
+
+    # initiator rule: does this segment contain an arena entry with nonzero
+    # origin-row value?
+    origin_nonzero = is_arena & valid & (arena.vals[origin_row][src_idx] != 0)
+    seg_occupied = (
+        jnp.zeros((total,), jnp.bool_).at[seg_id].max(origin_nonzero)
+    )
+    elem_occupied = seg_occupied[seg_id]
+    spawn_allowed = (~is_arena) & valid & (spawn_ini[sp_idx] | elem_occupied)
+    nonini_occ_add = jnp.sum(
+        (~is_arena) & valid & ~spawn_ini[sp_idx] & elem_occupied,
+        dtype=jnp.int32,
+    )
+
+    # per-row contributions
+    def seg_sum(contrib):
+        return jnp.zeros((total,), contrib.dtype).at[seg_id].add(contrib)
+
+    new_vals_rows = []
+    for row in range(r):
+        base = jnp.where(is_arena & valid, arena.vals[row][src_idx], 0)
+        if row == dest_row:
+            base = base + jnp.where(spawn_allowed, spawn_vals[sp_idx], 0)
+        new_vals_rows.append(seg_sum(base))
+    seg_vals = jnp.stack(new_vals_rows)  # (R, total) indexed by seg_id
+
+    # segment representative payloads: the first element of each segment is an
+    # arena entry whenever one exists (stable sort, arena concatenated first)
+    seg_keys = jnp.where(
+        first[:, None], sorted_keys, jnp.zeros_like(sorted_keys)
+    )
+    seg_keys = jnp.zeros((total, w), jnp.uint32).at[seg_id].max(seg_keys)
+    rep_occ = jnp.where(is_arena[:, None], arena.occ[src_idx], spawn_occ[sp_idx])
+    seg_occ = (
+        jnp.zeros((total, arena.occ.shape[1]), jnp.int32)
+        .at[seg_id]
+        .max(jnp.where(first[:, None], rep_occ, 0))
+    )
+    rep_diag = jnp.where(is_arena, arena.diag[src_idx], spawn_diag[sp_idx])
+    seg_diag = (
+        jnp.zeros((total,), jnp.float64)
+        .at[seg_id]
+        .add(jnp.where(first, rep_diag, 0.0))
+    )
+
+    # a segment survives if it contains an arena entry or an allowed spawn;
+    # segments of invalid sentinels are dropped
+    seg_live = (
+        jnp.zeros((total,), jnp.bool_)
+        .at[seg_id]
+        .max(valid & (is_arena | spawn_allowed))
+    )
+    seg_is_valid_key = ~dets.is_invalid(seg_keys)
+    seg_live = seg_live & seg_is_valid_key
+
+    # compact live segments to the front (they are in sorted key order)
+    n_live = jnp.sum(seg_live, dtype=jnp.int32)
+    overflow = n_live > c
+    dest_pos = jnp.where(
+        seg_live, jnp.cumsum(seg_live.astype(jnp.int32)) - 1, total
+    )
+
+    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
+    out_keys = out_keys.at[dest_pos].set(seg_keys, mode="drop")
+    out_vals = jnp.zeros((r, c), arena.vals.dtype)
+    out_vals = out_vals.at[:, dest_pos].set(seg_vals, mode="drop")
+    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
+    out_occ = out_occ.at[dest_pos].set(seg_occ, mode="drop")
+    out_diag = jnp.zeros((c,), jnp.float64)
+    out_diag = out_diag.at[dest_pos].set(seg_diag, mode="drop")
+
+    new_arena = Arena(
+        keys=out_keys,
+        vals=out_vals,
+        occ=out_occ,
+        diag=out_diag,
+        n_used=jnp.minimum(n_live, c),
+    )
+    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
+
+
+@jax.jit
+def compact(arena: Arena, keep_mask: jax.Array) -> Arena:
+    """Remove entries where ``keep_mask`` is False (stable, stays sorted).
+
+    Replaces DistVec::del_at_pos / cleanup (vec_utils.hpp:458-499); callers
+    typically keep entries that remain nonzero in any value row or are
+    protected (reference frisys_mol.cpp:534-539).
+    """
+    c, w = arena.keys.shape
+    keep = keep_mask & arena.valid
+    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, c)
+    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
+    out_keys = out_keys.at[pos].set(arena.keys, mode="drop")
+    out_vals = jnp.zeros_like(arena.vals).at[:, pos].set(arena.vals, mode="drop")
+    out_occ = jnp.zeros_like(arena.occ).at[pos].set(arena.occ, mode="drop")
+    out_diag = jnp.zeros_like(arena.diag).at[pos].set(arena.diag, mode="drop")
+    return Arena(
+        keys=out_keys,
+        vals=out_vals,
+        occ=out_occ,
+        diag=out_diag,
+        n_used=jnp.sum(keep, dtype=jnp.int32),
+    )
+
+
+def lookup(arena: Arena, query_keys: jax.Array):
+    """(positions, found) of query determinants (replaces hash lookups)."""
+    pos, found = dets.lookup_dets(arena.keys, query_keys)
+    return pos, found & ~dets.is_invalid(query_keys)
+
+
+@partial(jax.jit, static_argnames=("row",))
+def dot(arena: Arena, query_keys: jax.Array, query_vals: jax.Array, row: int = 0):
+    """Local dot product of one value row against a replicated sparse vector.
+
+    Replaces DistVec::dot with precomputed hashes (vec_utils.hpp:228-253);
+    sum over shards with psum for the global value.
+    """
+    pos, found = lookup(arena, query_keys)
+    gathered = jnp.where(found, arena.vals[row][pos], 0)
+    return jnp.sum(gathered.astype(jnp.float64) * query_vals.astype(jnp.float64))
+
+
+def one_norm(arena: Arena, row: int = 0) -> jax.Array:
+    return jnp.sum(jnp.abs(arena.vals[row].astype(jnp.float64)))
+
+
+def n_nonzero(arena: Arena, row: int = 0) -> jax.Array:
+    return jnp.sum((arena.vals[row] != 0) & arena.valid, dtype=jnp.int32)
+
+
+def set_row(arena: Arena, row: int, values: jax.Array) -> Arena:
+    return replace(arena, vals=arena.vals.at[row].set(values))
+
+
+def grow(arena: Arena, new_capacity: int) -> Arena:
+    """Host-side capacity growth (outside jit; triggers recompilation of the
+    iteration step, the static-shape analogue of DistVec::expand,
+    vec_utils.hpp:343-353)."""
+    c = arena.capacity
+    extra = new_capacity - c
+    if extra <= 0:
+        return arena
+    return Arena(
+        keys=jnp.concatenate(
+            [arena.keys, jnp.tile(dets.invalid_det(arena.n_words), (extra, 1))]
+        ),
+        vals=jnp.concatenate(
+            [arena.vals, jnp.zeros((arena.n_vecs, extra), arena.vals.dtype)], axis=1
+        ),
+        occ=jnp.concatenate(
+            [arena.occ, jnp.zeros((extra, arena.occ.shape[1]), jnp.int32)]
+        ),
+        diag=jnp.concatenate([arena.diag, jnp.zeros((extra,), jnp.float64)]),
+        n_used=arena.n_used,
+    )
