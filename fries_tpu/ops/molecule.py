@@ -1,0 +1,366 @@
+"""Molecular (ab initio) Hamiltonian: Slater-Condon matrix elements and
+symmetry-resolved excitation enumeration, fully batched.
+
+Re-designs FRIES/Hamiltonians/molecule.{hpp,cpp} for TPU:
+
+* ERIs are a dense physicist-notation tensor ``<pq|rs>`` (the reference's
+  8-fold-packed SymmERIs, ndarr.hpp:206-244, trades memory for scalar access;
+  on TPU a dense array with vectorized gathers wins - 46 orbitals is 36 MB).
+* Matrix elements (doub_matr_el_nosgn molecule.cpp:8-42, sing_matr_el_nosgn
+  :45-105, diag_matrel :935-1029) are evaluated for whole batches of
+  excitations with gather + masked-reduction kernels.
+* Excitation enumeration (doub_ex_symm :108-175, sing_ex_symm :178-203)
+  becomes a static candidate template (numpy, built once per system) plus a
+  batched validity mask - no per-determinant loops.
+
+Orbital conventions follow the reference: ``n_orb`` unfrozen *spatial*
+orbitals; spin orbitals 0..n_orb-1 are alpha, n_orb..2n_orb-1 beta; occupied
+lists hold n_elec/2 ascending alpha then n_elec/2 ascending beta spin
+orbitals.  Frozen-core spatial orbitals occupy the first n_frozen/2 rows of
+``hcore``/``eris`` and are excluded from the active bit string.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fries_tpu import dets
+
+N_IRREPS = 8  # <= 8 abelian irreps, XOR product table (molecule.hpp:14)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("hcore", "eris", "symm"),
+    meta_fields=("n_orb", "n_elec", "n_frozen"),
+)
+@dataclass(frozen=True)
+class MolecularHamiltonian:
+    """Integrals + system sizes.
+
+    Attributes:
+      hcore: (T, T) one-electron integrals, T = n_orb + n_frozen/2.
+      eris:  (T, T, T, T) two-electron integrals, physicist notation <pq|rs>.
+      symm:  (n_orb,) int32 irrep labels of the unfrozen spatial orbitals.
+      n_orb: unfrozen spatial orbitals.
+      n_elec: unfrozen electrons.
+      n_frozen: frozen electrons (n_frozen/2 frozen spatial orbitals).
+    """
+
+    hcore: jax.Array
+    eris: jax.Array
+    symm: jax.Array
+    n_orb: int
+    n_elec: int
+    n_frozen: int = 0
+
+    @property
+    def tot_orb(self) -> int:
+        return self.n_orb + self.n_frozen // 2
+
+    @property
+    def n_bits(self) -> int:
+        return 2 * self.n_orb
+
+    @property
+    def n_words(self) -> int:
+        return dets.n_words(self.n_bits)
+
+
+# ---------------------------------------------------------------------------
+# matrix elements
+# ---------------------------------------------------------------------------
+
+def _spatial(ham: MolecularHamiltonian, spin_orb):
+    """Unfrozen spin orbital -> total spatial index (with frozen offset)."""
+    return spin_orb % ham.n_orb + ham.n_frozen // 2
+
+
+def _spin(ham: MolecularHamiltonian, spin_orb):
+    return spin_orb // ham.n_orb
+
+
+@jax.jit
+def doub_matr_el(ham: MolecularHamiltonian, o1, o2, u1, u2):
+    """Sign-free double-excitation element <o1 o2||u1 u2> (batched).
+
+    Mirrors doub_matr_el_nosgn (molecule.cpp:8-42): Coulomb minus exchange
+    when both electrons share a spin.
+    """
+    same_sp = _spin(ham, o1) == _spin(ham, o2)
+    s0, s1 = _spatial(ham, o1), _spatial(ham, o2)
+    s2, s3 = _spatial(ham, u1), _spatial(ham, u2)
+    coul = ham.eris[s0, s1, s2, s3]
+    exch = ham.eris[s0, s1, s3, s2]
+    return coul - jnp.where(same_sp, exch, 0.0)
+
+
+@jax.jit
+def sing_matr_el(ham: MolecularHamiltonian, o, u, occ):
+    """Sign-free single-excitation element (batched over leading dims).
+
+    Mirrors sing_matr_el_nosgn (molecule.cpp:45-105): core integral plus
+    Coulomb-minus-exchange sums over frozen and occupied orbitals.
+
+    Args:
+      o, u: (...,) occupied / virtual spin orbitals (same spin).
+      occ:  (..., E) occupied spin-orbital lists.
+    """
+    half_frz = ham.n_frozen // 2
+    so = _spatial(ham, o)
+    su = _spatial(ham, u)
+    spin_o = _spin(ham, o)
+    mel = ham.hcore[so, su]
+    if half_frz:
+        j = jnp.arange(half_frz)
+        mel = mel + 2 * jnp.sum(ham.eris[so[..., None], j, su[..., None], j], axis=-1)
+        mel = mel - jnp.sum(ham.eris[so[..., None], j, j, su[..., None]], axis=-1)
+    occ_spa = _spatial(ham, occ)
+    same_spin = _spin(ham, occ) == spin_o[..., None]
+    coul = ham.eris[so[..., None], occ_spa, su[..., None], occ_spa]
+    exch = ham.eris[so[..., None], occ_spa, occ_spa, su[..., None]]
+    mel = mel + jnp.sum(coul - jnp.where(same_spin, exch, 0.0), axis=-1)
+    return mel
+
+
+@jax.jit
+def diag_matrel(ham: MolecularHamiltonian, occ):
+    """Diagonal element <det|H|det> (batched over leading dims of ``occ``).
+
+    Mirrors diag_matrel (molecule.cpp:935-1029): frozen-core energy, one-body
+    terms, and pairwise Coulomb-minus-exchange over occupied spin orbitals.
+    """
+    half_frz = ham.n_frozen // 2
+    e = occ.shape[-1]
+    spa = _spatial(ham, occ)  # (..., E)
+    spin = _spin(ham, occ)
+
+    total = jnp.sum(ham.hcore[spa, spa], axis=-1)
+
+    # frozen-core contributions (constant + interaction with occupied)
+    if half_frz:
+        j = np.arange(half_frz)
+        core = 2 * jnp.sum(ham.hcore[j, j])
+        core = core + jnp.sum(ham.eris[j, j, j, j])
+        jj, kk = jnp.meshgrid(j, j, indexing="ij")
+        mask = kk > jj
+        core = core + jnp.sum(
+            jnp.where(mask, 4 * ham.eris[jj, kk, jj, kk] - 2 * ham.eris[jj, kk, kk, jj], 0.0)
+        )
+        total = total + core
+        coul_f = ham.eris[spa[..., None], j, spa[..., None], j]
+        exch_f = ham.eris[spa[..., None], j, j, spa[..., None]]
+        total = total + jnp.sum(2 * coul_f - exch_f, axis=(-1, -2))
+
+    # pairwise occupied-occupied
+    spa_j = spa[..., :, None]
+    spa_k = spa[..., None, :]
+    same_spin = spin[..., :, None] == spin[..., None, :]
+    coul = ham.eris[spa_j, spa_k, spa_j, spa_k]
+    exch = ham.eris[spa_j, spa_k, spa_k, spa_j]
+    pair = coul - jnp.where(same_spin, exch, 0.0)
+    tri = jnp.triu(jnp.ones((e, e), bool), k=1)
+    total = total + jnp.sum(jnp.where(tri, pair, 0.0), axis=(-1, -2))
+    return total
+
+
+def hf_reference(ham: MolecularHamiltonian):
+    """(hf_det_words, hf_occ, hf_energy) of the aufbau HF determinant."""
+    words = dets.hf_det(ham.n_orb, ham.n_elec)
+    occ = dets.occ_list(words[None], ham.n_bits, ham.n_elec)[0]
+    energy = diag_matrel(ham, occ[None])[0]
+    return words, occ, energy
+
+
+# ---------------------------------------------------------------------------
+# symmetry tables (reference SymmInfo, molecule.hpp:265-280, gen_symm_lookup
+# molecule.cpp:1050-1065)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SymmInfo:
+    """Irrep labels and per-irrep orbital lists (host-side numpy).
+
+    lookup[g] lists the spatial orbitals of irrep g; counts[g] their number;
+    the dense (N_IRREPS, max_count) array is gather-friendly on device.
+    """
+
+    symm: np.ndarray            # (n_orb,)
+    counts: np.ndarray          # (N_IRREPS,)
+    lookup: np.ndarray          # (N_IRREPS, max_count) padded with n_orb
+    max_count: int
+
+    @staticmethod
+    def build(symm) -> "SymmInfo":
+        symm = np.asarray(symm, dtype=np.int32)
+        n_orb = symm.shape[0]
+        counts = np.zeros(N_IRREPS, np.int32)
+        rows = []
+        for g in range(N_IRREPS):
+            orbs = np.where(symm == g)[0]
+            counts[g] = len(orbs)
+            rows.append(orbs)
+        max_count = max(1, int(counts.max()))
+        lookup = np.full((N_IRREPS, max_count), n_orb, np.int32)
+        for g in range(N_IRREPS):
+            lookup[g, : counts[g]] = rows[g]
+        return SymmInfo(symm, counts, lookup, max_count)
+
+
+# ---------------------------------------------------------------------------
+# static excitation templates (replaces doub_ex_symm / sing_ex_symm loops)
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("d_e1", "d_e2", "d_t1", "d_t2", "s_e", "s_t"),
+    meta_fields=(),
+)
+@dataclass(frozen=True)
+class ExcitationTemplate:
+    """Static per-system candidate excitations, masked per determinant.
+
+    Doubles enumerate (electron-slot pair) x (spatial target pair) for the
+    three spin cases; singles enumerate (electron slot) x (spatial target).
+    Bounds match count_doub_nosymm (molecule.cpp:888-892).
+    """
+
+    # doubles
+    d_e1: np.ndarray  # (ND,) electron slot of first occupied
+    d_e2: np.ndarray  # (ND,)
+    d_t1: np.ndarray  # (ND,) spatial target for electron 1 (same spin)
+    d_t2: np.ndarray  # (ND,)
+    # singles
+    s_e: np.ndarray  # (NS,)
+    s_t: np.ndarray  # (NS,)
+
+    @property
+    def n_doub(self) -> int:
+        return len(self.d_e1)
+
+    @property
+    def n_sing(self) -> int:
+        return len(self.s_e)
+
+    @staticmethod
+    def build(n_orb: int, n_elec: int) -> "ExcitationTemplate":
+        half = n_elec // 2
+        d_e1, d_e2, d_t1, d_t2 = [], [], [], []
+        # alpha-beta
+        for e1 in range(half):
+            for e2 in range(half, n_elec):
+                for t1 in range(n_orb):
+                    for t2 in range(n_orb):
+                        d_e1.append(e1)
+                        d_e2.append(e2)
+                        d_t1.append(t1)
+                        d_t2.append(t2)
+        # same spin (alpha then beta)
+        for base in (0, half):
+            for e1 in range(base, base + half):
+                for e2 in range(e1 + 1, base + half):
+                    for t1 in range(n_orb):
+                        for t2 in range(t1 + 1, n_orb):
+                            d_e1.append(e1)
+                            d_e2.append(e2)
+                            d_t1.append(t1)
+                            d_t2.append(t2)
+        s_e, s_t = [], []
+        for e in range(n_elec):
+            for t in range(n_orb):
+                s_e.append(e)
+                s_t.append(t)
+        return ExcitationTemplate(
+            np.asarray(d_e1, np.int32),
+            np.asarray(d_e2, np.int32),
+            np.asarray(d_t1, np.int32),
+            np.asarray(d_t2, np.int32),
+            np.asarray(s_e, np.int32),
+            np.asarray(s_t, np.int32),
+        )
+
+
+def enumerate_doubles(ham: MolecularHamiltonian, tmpl: ExcitationTemplate,
+                      det_words, occ):
+    """All symmetry-allowed double excitations of a batch of determinants.
+
+    Returns (o1, o2, u1, u2, valid) each (B, ND); orbital ordering matches
+    doub_ex_symm (molecule.cpp:108-175): o1 < o2, and for the alpha-beta case
+    u1 alpha / u2 beta, same-spin case u1 < u2.
+    """
+    n_orb = ham.n_orb
+    half = ham.n_elec // 2
+    e1 = jnp.asarray(tmpl.d_e1)
+    e2 = jnp.asarray(tmpl.d_e2)
+    spin1 = (e1 >= half).astype(jnp.int32)
+    spin2 = (e2 >= half).astype(jnp.int32)
+    o1 = occ[:, e1]
+    o2 = occ[:, e2]
+    u1 = jnp.asarray(tmpl.d_t1) + spin1 * n_orb
+    u2 = jnp.asarray(tmpl.d_t2) + spin2 * n_orb
+    u1 = jnp.broadcast_to(u1, o1.shape)
+    u2 = jnp.broadcast_to(u2, o2.shape)
+    unocc = ~dets.read_bit(det_words[:, None, :], u1) & ~dets.read_bit(
+        det_words[:, None, :], u2
+    )
+    symm = ham.symm
+    allowed = (
+        symm[o1 % n_orb] ^ symm[o2 % n_orb] ^ symm[u1 % n_orb] ^ symm[u2 % n_orb]
+    ) == 0
+    return o1, o2, u1, u2, unocc & allowed
+
+
+def enumerate_singles(ham: MolecularHamiltonian, tmpl: ExcitationTemplate,
+                      det_words, occ):
+    """All symmetry-allowed single excitations (B, NS) + validity mask."""
+    n_orb = ham.n_orb
+    half = ham.n_elec // 2
+    e = jnp.asarray(tmpl.s_e)
+    spin = (e >= half).astype(jnp.int32)
+    o = occ[:, e]
+    u = jnp.broadcast_to(jnp.asarray(tmpl.s_t) + spin * n_orb, o.shape)
+    unocc = ~dets.read_bit(det_words[:, None, :], u)
+    allowed = ham.symm[o % n_orb] == ham.symm[u % n_orb]
+    return o, u, unocc & allowed
+
+
+@jax.jit
+def exact_offdiag_batch(ham: MolecularHamiltonian, tmpl: ExcitationTemplate,
+                        det_words, occ, vals, h_fac):
+    """Exact H_offdiag action for a batch of source determinants.
+
+    The TPU analogue of h_op_offdiag (molecule.cpp:448-665): instead of
+    streaming per-determinant enumeration loops through an Adder with flow
+    control, all candidates are materialized as a (B, ND+NS) masked batch of
+    (new_det, value) spawns ready for arena accumulation.
+
+    Returns (new_words (B, NC, W), amps (B, NC), new_occ (B, NC, E)) where
+    masked-out candidates have zero amplitude and sentinel keys.
+    """
+    b = det_words.shape[0]
+    o1, o2, u1, u2, dmask = enumerate_doubles(ham, tmpl, det_words, occ)
+    so, su, smask = enumerate_singles(ham, tmpl, det_words, occ)
+
+    dmel = doub_matr_el(ham, o1, o2, u1, u2)
+    dnew, dsign = dets.double_parity(det_words[:, None, :], o1, o2, u1, u2)
+    damp = jnp.where(dmask, dmel * dsign * vals[:, None] * h_fac, 0.0)
+
+    smel = sing_matr_el(ham, so, su, occ[:, None, :])
+    snew, ssign = dets.single_parity(det_words[:, None, :], so, su)
+    samp = jnp.where(smask, smel * ssign * vals[:, None] * h_fac, 0.0)
+
+    new_words = jnp.concatenate([dnew, snew], axis=1)
+    amps = jnp.concatenate([damp, samp], axis=1)
+    masks = jnp.concatenate([dmask, smask], axis=1)
+
+    # occupied lists of the spawned determinants (recomputed; cheap relative
+    # to the matrix elements and keeps the spawner self-contained)
+    new_occ = dets.occ_list(new_words, ham.n_bits, ham.n_elec)
+    sentinel = jnp.asarray(dets.invalid_det(ham.n_words))
+    new_words = jnp.where(masks[..., None], new_words, sentinel)
+    return new_words, amps, new_occ

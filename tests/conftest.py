@@ -16,4 +16,10 @@ if not os.environ.get("FRIES_TPU_TEST_ON_TPU"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# persistent compilation cache: amortizes XLA compiles across test runs on
+# this single-core host
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
