@@ -1,0 +1,408 @@
+"""frisys_mol: systematic FCI-FRI with heat-bath Power-Pitzer factorized
+Hamiltonian compression - the flagship workload (FRIES_bin/frisys_mol.cpp).
+
+The reference's apply_HBPP_sys (heat_bathPP.cpp:686-992) interleaves five
+``comp_sub`` compressions with per-sample scalar bookkeeping; here each level
+is one batched ``compress.comp_sub`` over a statically-shaped sample buffer,
+with per-sample probability rows built by the batched kernels in
+ops.heat_bath.  Sample metadata (determinant slot, single/double kind, chosen
+orbital slots) lives in parallel int32 arrays remapped by gather after every
+compression round - the TPU equivalent of the reference's orb_indices1/2 +
+det_indices1/2 double-buffering (heat_bathPP.cpp:698-702).
+
+Level structure for doubles (singles in parentheses):
+  A. single-vs-double split          [p_doub, 1-p_doub]
+  B. first occupied o1 ~ s_tens      (uniform over allowed electrons)
+  C. second occupied o2 ~ d_same/d_diff (uniform over allowed virtuals)
+  D. first virtual u1 ~ exch_sqrt    (pass-through)
+  E. second virtual u2 ~ exch_sqrt over the symmetry-allowed row
+Finalization divides the sampled weight by the total selection probability
+(calc_norm_wt / calc_unnorm_wt) and multiplies the Slater-Condon element and
+fermionic parity (heat_bathPP.cpp:917-989).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fries_tpu import compress, dets
+from fries_tpu.drivers import power
+from fries_tpu.ops import heat_bath as hb
+from fries_tpu.ops import molecule as mol
+from fries_tpu.runtime import arena as ar
+
+
+@dataclass(frozen=True)
+class FrisysConfig:
+    eps: float
+    vec_nonz: int           # vector compression budget (target_nonz)
+    matr_samp: int          # Hamiltonian compression budget per level
+    capacity: int
+    spawn_cap: int          # static sample-buffer size (>= matr_samp + slack)
+    init_thresh: float = 0.0
+    target_norm: float = 0.0
+    shift_interval: int = 10
+    shift_damping: float = 0.05
+    unnorm: bool = False    # HB_unnorm distribution variant
+
+    def power(self) -> power.PowerConfig:
+        return power.PowerConfig(
+            eps=self.eps,
+            target_nonz=self.vec_nonz,
+            capacity=self.capacity,
+            init_thresh=self.init_thresh,
+            target_norm=self.target_norm,
+            shift_interval=self.shift_interval,
+            shift_damping=self.shift_damping,
+        )
+
+
+def _rank_to_index(mask, rank):
+    """Column of the rank-th True entry per row (K if out of range)."""
+    k = mask.shape[-1]
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    hit = mask & (cum == rank[..., None])
+    idx = jnp.sum(jnp.where(hit, jnp.arange(k, dtype=jnp.int32), 0), axis=-1)
+    found = jnp.any(hit, axis=-1)
+    return jnp.where(found, idx, k), found
+
+
+def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
+                      syminfo: mol.SymmInfo, p_doub: float, cfg: FrisysConfig,
+                      e_ref):
+    """Stochastically-compressed H application conforming to the power-core
+    spawn interface."""
+    n_orb = ham.n_orb
+    n_elec = ham.n_elec
+    half = n_elec // 2
+    n_virt = n_orb - half
+    lookup = jnp.asarray(syminfo.lookup)
+    symm = jnp.asarray(syminfo.symm)
+    s_cap = cfg.spawn_cap
+    m_samp = cfg.matr_samp
+    unnorm = cfg.unnorm
+
+    def spawn(keys, occ, vals, h_fac, key):
+        c = keys.shape[0]
+        absv = jnp.abs(vals)
+        rns = jax.random.uniform(key, (6,), dtype=jnp.float64)
+        overflow = jnp.bool_(False)
+
+        # ---------------- level A: single vs double ----------------
+        ndiv = jnp.zeros((c,), jnp.int32)
+        subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
+        maskA = jnp.ones((c, 2), bool)
+        val, parent, sub, _, ovf = compress.comp_sub(
+            absv, ndiv, subw, maskA, m_samp, rns[0], s_cap
+        )
+        overflow |= ovf
+        det_idx = jnp.where(parent >= 0, parent, 0)
+        live = parent >= 0
+        is_doub = (sub == 0) & live
+
+        def gather_det():
+            s_occ = occ[det_idx]
+            s_keys = keys[det_idx]
+            occ_bits = dets.unpack_bits(s_keys, 2 * n_orb)
+            return s_occ, s_keys, occ_bits
+
+        # ---------------- level B: o1 (doubles) / allowed count (singles) ---
+        s_occ, s_keys, occ_bits = gather_det()
+        counts = hb.unocc_symm_counts(
+            n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
+        )
+        per_elec, n_occ_allowed = hb.sing_allowed(n_orb, n_elec, symm, counts, s_occ)
+
+        probsB, o1_norm_frac = hb.o1_probs(tens, n_orb, s_occ)
+        if unnorm:
+            # exclude the first electron (o2 must lie below o1); fold the
+            # normalization fraction into the value (heat_bathPP.cpp:744-750)
+            excl = jnp.arange(n_elec)[None, :] == 0
+            w = jnp.where(excl, 0.0, probsB * o1_norm_frac[:, None])
+            newnorm = jnp.sum(w, axis=-1, keepdims=True)
+            probsB = w / jnp.maximum(newnorm, 1e-300)
+            # the reference folds tot_weight = norm/s_norm into the value
+            # (heat_bathPP.cpp:746-749)
+            val = jnp.where(is_doub, val * (newnorm[:, 0] / tens.s_norm), val)
+        sing_ok = n_occ_allowed > 0
+        ndivB = jnp.where(is_doub, 0, jnp.maximum(n_occ_allowed, 1)).astype(jnp.int32)
+        valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
+        maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
+        val, parent, sub, _, ovf = compress.comp_sub(
+            valB_in, ndivB, jnp.where(maskB, probsB, 0.0), maskB, m_samp, rns[1], s_cap
+        )
+        overflow |= ovf
+        live = parent >= 0
+        pidx = jnp.where(live, parent, 0)
+        det_idx = det_idx[pidx]
+        is_doub = is_doub[pidx] & live
+        o1_idx = jnp.where(is_doub, sub, 0)        # electron slot of o1
+        sing_rank = jnp.where(~is_doub & live, sub, 0)  # allowed-electron rank
+
+        # ---------------- level C: o2 (doubles) / virtual count (singles) ---
+        s_occ, s_keys, occ_bits = gather_det()
+        counts = hb.unocc_symm_counts(
+            n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
+        )
+        per_elec, n_occ_allowed = hb.sing_allowed(n_orb, n_elec, symm, counts, s_occ)
+
+        if unnorm:
+            probsC, o2_frac = hb.o2_probs_half(tens, n_orb, n_elec, s_occ, o1_idx)
+            val = jnp.where(is_doub, val * o2_frac, val)
+        else:
+            probsC, _ = hb.o2_probs(tens, n_orb, n_elec, s_occ, o1_idx)
+        # singles: electron choice from allowed rank
+        s_elec, s_found = _rank_to_index(per_elec > 0, sing_rank)
+        s_elec = jnp.where(s_found, s_elec, 0)
+        s_nvirt = jnp.take_along_axis(per_elec, s_elec[:, None], axis=-1)[:, 0]
+        sing_ok = (~is_doub) & live & s_found & (s_nvirt > 0)
+        ndivC = jnp.where(is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
+        valC_in = jnp.where(is_doub | sing_ok, val, 0.0)
+        rowsum = jnp.sum(probsC, axis=-1)
+        valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
+        maskC = is_doub[:, None] & (probsC > 0)
+        val, parent, sub, _, ovf = compress.comp_sub(
+            valC_in, ndivC, jnp.where(maskC, probsC, 0.0), maskC, m_samp, rns[2], s_cap
+        )
+        overflow |= ovf
+        live = parent >= 0
+        pidx = jnp.where(live, parent, 0)
+        det_idx = det_idx[pidx]
+        is_doub = is_doub[pidx] & live
+        o1_idx = o1_idx[pidx]
+        s_elec = s_elec[pidx]
+        o2_idx = jnp.where(is_doub, sub, 0)
+        virt_rank = jnp.where(~is_doub & live, sub, 0)
+
+        # ---------------- level D: u1 (doubles) ----------------
+        s_occ, s_keys, occ_bits = gather_det()
+        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
+        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        if unnorm:
+            same_oo = (o1_orb // n_orb) == (o2_orb // n_orb)
+            probsD, u1_frac, virtsD = hb.u1_probs(
+                tens, n_orb, n_elec, occ_bits, o1_orb, exclude_first=same_oo
+            )
+            val = jnp.where(is_doub, val * u1_frac, val)
+        else:
+            probsD, _, virtsD = hb.u1_probs(tens, n_orb, n_elec, occ_bits, o1_orb)
+        rowsumD = jnp.sum(probsD, axis=-1)
+        ndivD = jnp.where(is_doub, 0, 1).astype(jnp.int32)
+        valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
+        maskD = is_doub[:, None] & (probsD > 0)
+        val, parent, sub, _, ovf = compress.comp_sub(
+            valD_in, ndivD, jnp.where(maskD, probsD, 0.0), maskD, m_samp, rns[3], s_cap
+        )
+        overflow |= ovf
+        live = parent >= 0
+        pidx = jnp.where(live, parent, 0)
+        det_idx = det_idx[pidx]
+        is_doub = is_doub[pidx] & live
+        o1_idx = o1_idx[pidx]
+        o2_idx = o2_idx[pidx]
+        s_elec = s_elec[pidx]
+        virt_rank = virt_rank[pidx]
+        u1_slot = jnp.where(is_doub, sub, 0)
+
+        # ---------------- level E: u2 (doubles) ----------------
+        s_occ, s_keys, occ_bits = gather_det()
+        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
+        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        spin1 = o1_orb // n_orb
+        spin_bits = jnp.where(
+            (spin1 == 0)[:, None],
+            occ_bits[:, :n_orb],
+            occ_bits[:, n_orb : 2 * n_orb],
+        )
+        virts = hb.virtual_slots(n_orb, n_elec, spin_bits)
+        u1_sp = jnp.take_along_axis(
+            virts, jnp.clip(u1_slot, 0, n_virt - 1)[:, None], axis=-1
+        )[:, 0]
+        u1_orb = jnp.where(u1_sp < n_orb, u1_sp + spin1 * n_orb, 0)
+        probsE, u2_frac, orb_rowE = hb.u2_probs(
+            tens, n_orb, symm, lookup, o1_orb, o2_orb, u1_orb,
+            occ_bits=occ_bits, half=unnorm,
+        )
+        if unnorm:
+            val = jnp.where(is_doub, val * u2_frac, val)
+        rowsumE = jnp.sum(probsE, axis=-1)
+        ndivE = jnp.where(is_doub, 0, 1).astype(jnp.int32)
+        valE_in = jnp.where(is_doub & (rowsumE <= 0), 0.0, val)
+        maskE = is_doub[:, None] & (probsE > 0)
+        val, parent, sub, _, ovf = compress.comp_sub(
+            valE_in, ndivE, jnp.where(maskE, probsE, 0.0), maskE, m_samp, rns[4], s_cap
+        )
+        overflow |= ovf
+        live = parent >= 0
+        pidx = jnp.where(live, parent, 0)
+        det_idx = det_idx[pidx]
+        is_doub = is_doub[pidx] & live
+        is_sing = (~is_doub) & live
+        o1_idx = o1_idx[pidx]
+        o2_idx = o2_idx[pidx]
+        s_elec = s_elec[pidx]
+        virt_rank = virt_rank[pidx]
+        u1_slot = u1_slot[pidx]
+        u2_slot = jnp.where(is_doub, sub, 0)
+
+        # ---------------- finalize ----------------
+        s_occ, s_keys, occ_bits = gather_det()
+        sign = jnp.sign(vals[det_idx])
+
+        # doubles
+        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
+        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        spin1 = o1_orb // n_orb
+        spin2 = o2_orb // n_orb
+        spin_bits1 = jnp.where(
+            (spin1 == 0)[:, None], occ_bits[:, :n_orb], occ_bits[:, n_orb : 2 * n_orb]
+        )
+        virts = hb.virtual_slots(n_orb, n_elec, spin_bits1)
+        u1_sp = jnp.take_along_axis(
+            virts, jnp.clip(u1_slot, 0, n_virt - 1)[:, None], axis=-1
+        )[:, 0]
+        u1_orb = jnp.where(u1_sp < n_orb, u1_sp + spin1 * n_orb, 0)
+        g = symm[o1_orb % n_orb] ^ symm[o2_orb % n_orb] ^ symm[u1_orb % n_orb]
+        u2_sp = jnp.take_along_axis(
+            lookup[g], jnp.clip(u2_slot, 0, lookup.shape[1] - 1)[:, None], axis=-1
+        )[:, 0]
+        u2_valid = u2_sp < n_orb
+        u2_orb = jnp.where(u2_valid, u2_sp, 0) + spin2 * n_orb
+        u2_occupied = hb.dets_read(occ_bits, u2_orb[:, None], 2 * n_orb)[:, 0]
+        doub_ok = is_doub & u2_valid & ~u2_occupied & (u1_orb != u2_orb)
+
+        # canonical orbital ordering (o1<o2, u1<u2)
+        o_lo = jnp.minimum(o1_orb, o2_orb)
+        o_hi = jnp.maximum(o1_orb, o2_orb)
+        u_lo = jnp.minimum(u1_orb, u2_orb)
+        u_hi = jnp.maximum(u1_orb, u2_orb)
+
+        if unnorm:
+            tot = hb.unnorm_weight(tens, n_orb, o_lo, o_hi, u_lo, u_hi)
+            dval = val / jnp.maximum(tot, 1e-300)
+        else:
+            tot = hb.norm_weight(
+                tens, n_orb, n_elec, symm, lookup, s_occ, occ_bits,
+                o_lo, o_hi, u_lo, u_hi,
+            )
+            dval = val / jnp.maximum(tot, 1e-300)
+        dmel = mol.doub_matr_el(ham, o_lo, o_hi, u_lo, u_hi)
+        dwords, dsign = dets.double_parity(s_keys, o_lo, o_hi, u_lo, u_hi)
+        damp = jnp.where(
+            doub_ok & (tot > 0),
+            h_fac * dmel * dsign * sign * dval / p_doub,
+            0.0,
+        )
+
+        # singles
+        counts = hb.unocc_symm_counts(
+            n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
+        )
+        per_elec, n_occ_allowed = hb.sing_allowed(n_orb, n_elec, symm, counts, s_occ)
+        so_orb = jnp.take_along_axis(s_occ, s_elec[:, None], axis=-1)[:, 0]
+        so_spin = so_orb // n_orb
+        gs = symm[so_orb % n_orb]
+        orb_row = lookup[gs]  # (S, K) same-irrep spatial orbitals
+        cand_bit = orb_row + so_spin[:, None] * n_orb
+        cand_unocc = (orb_row < n_orb) & ~hb.dets_read(
+            occ_bits, jnp.clip(cand_bit, 0, 2 * n_orb - 1), 2 * n_orb
+        )
+        su_col, su_found = _rank_to_index(cand_unocc, virt_rank)
+        su_sp = jnp.take_along_axis(
+            orb_row, jnp.clip(su_col, 0, orb_row.shape[1] - 1)[:, None], axis=-1
+        )[:, 0]
+        su_orb = jnp.where(su_found & (su_sp < n_orb), su_sp + so_spin * n_orb, 0)
+        sing_ok = is_sing & su_found & (su_sp < n_orb)
+        s_nvirt = jnp.take_along_axis(per_elec, s_elec[:, None], axis=-1)[:, 0]
+        smel = mol.sing_matr_el(ham, so_orb, su_orb, s_occ)
+        swords, ssign = dets.single_parity(s_keys, so_orb, su_orb)
+        samp = jnp.where(
+            sing_ok,
+            h_fac
+            * smel
+            * ssign
+            * sign
+            * val
+            * n_occ_allowed
+            * s_nvirt
+            / (1.0 - p_doub),
+            0.0,
+        )
+
+        amps = jnp.where(is_doub, damp, samp)
+        new_words = jnp.where(is_doub[:, None], dwords, swords)
+        new_words = jnp.where(
+            (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
+        )
+        new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
+        new_diag = mol.diag_matrel(ham, new_occ) - e_ref
+        ini = jnp.abs(vals[det_idx]) >= cfg.init_thresh
+        return new_words, amps, new_occ, new_diag, ini
+
+    return spawn
+
+
+def hf_p_doub(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo):
+    """p_doub from the HF determinant's excitation counts
+    (frisys_mol.cpp:216-220)."""
+    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+    hf_words, hf_occ, _ = mol.hf_reference(ham)
+    _, _, _, _, dmask = mol.enumerate_doubles(ham, tmpl, hf_words[None], hf_occ[None])
+    n_doub = int(jnp.sum(dmask))
+    counts = hb.unocc_symm_counts(
+        ham.n_orb, ham.n_elec, jnp.asarray(syminfo.symm),
+        jnp.asarray(syminfo.counts), hf_occ[None],
+    )
+    per_elec, _ = hb.sing_allowed(
+        ham.n_orb, ham.n_elec, jnp.asarray(syminfo.symm), counts, hf_occ[None]
+    )
+    n_sing = int(jnp.sum(per_elec))
+    return n_doub / (n_doub + n_sing)
+
+
+def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
+          init_val: float = 100.0):
+    """Assemble the flagship frisys workload: HB-PP spawner + power core +
+    HF trial / H-trial estimator vectors.  Returns (step, run_steps, state,
+    aux)."""
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    tens = hb.setup(ham)
+    p_doub = hf_p_doub(ham, syminfo)
+    hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+
+    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en)
+    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
+
+    # trial = HF unit vector; htrial = (H - hf_en) |trial>
+    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+    tw, ta, _ = mol.exact_offdiag_batch(
+        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
+    )
+    tw = np.asarray(tw[0])
+    ta = np.asarray(ta[0])
+    keep = ta != 0
+    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
+    htrial_vals = np.concatenate([[0.0], ta[keep]])  # diag (H-hf_en) on HF = 0
+    # deduplicate (a double and its mirror can coincide only as distinct rows)
+    aux = {
+        "e_ref": hf_en,
+        "num_keys": jnp.asarray(htrial_keys),
+        "num_vals": jnp.asarray(htrial_vals),
+        "den_keys": hf_words[None],
+        "den_vals": jnp.ones((1,)),
+        "ref_key": hf_words,
+        "p_doub": p_doub,
+    }
+
+    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
+    a = ar.from_unsorted(
+        a, hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
+        jnp.zeros((1,)),
+    )
+    state = power.fresh_state(a, seed)
+    return step, run_steps, state, aux

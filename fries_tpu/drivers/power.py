@@ -1,0 +1,209 @@
+"""Generic FRI power-iteration core shared by all single-vector drivers
+(frifull_mol / frifull_hh exact multiplication, frisys stochastic
+multiplication, and the FCIQMC walker dynamics reuse pieces).
+
+One jit-compiled step of  v <- (1 - eps (H - e_ref - S)) v  with
+
+  * model-provided off-diagonal spawning (exact or stochastically compressed),
+  * sort-merge accumulation with initiator masking (runtime.arena),
+  * death/cloning on the cached diagonal (frisys_mol.cpp:487-495),
+  * projected-energy estimators: either the before/after-multiply trick
+    (frifull_mol.cpp:289-301) or direct trial / H-trial dots
+    (frisys_mol.cpp:517-520),
+  * norm-control shift updates (compress_utils.cpp:684-693),
+  * find_preserve + systematic vector compression + compaction.
+
+A model is a ``spawn_fn(keys, occ, vals, h_fac, key) -> (flat_words,
+flat_amps, flat_occ, flat_diag, flat_ini)``; ``flat_diag`` must already be
+relative to ``e_ref``; invalid slots carry zero amplitude.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fries_tpu import compress, dets
+from fries_tpu.runtime import arena as ar
+
+
+@dataclass(frozen=True)
+class PowerConfig:
+    eps: float
+    target_nonz: int        # vector compression budget
+    capacity: int           # max determinants held (per shard)
+    init_thresh: float = 0.0
+    target_norm: float = 0.0
+    shift_interval: int = 10
+    shift_damping: float = 0.05
+    batch: int = 0          # chunk size for spawning (0 = whole arena)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PowerState:
+    arena: ar.Arena
+    en_shift: jax.Array
+    last_norm: jax.Array
+    key: jax.Array
+    iterat: jax.Array
+
+
+def fresh_state(a: ar.Arena, seed: int) -> PowerState:
+    return PowerState(
+        arena=a,
+        en_shift=jnp.float64(0.0),
+        last_norm=jnp.float64(0.0),
+        key=jax.random.key(seed),
+        iterat=jnp.int32(0),
+    )
+
+
+def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
+    """Build (step, run_steps) jitted for one model.
+
+    step(state, num_keys, num_vals, den_keys, den_vals, ref_key):
+      estimator="before_after": proj_num from <den|v> before/after the
+        multiply; num_* ignored (pass den_* again).
+      estimator="direct": proj_num = <num|v_new>, proj_den = <den|v_new>
+        evaluated on the post-death uncompressed vector (frisys timing,
+        frisys_mol.cpp:517-520).
+    """
+    assert estimator in ("before_after", "direct")
+
+    @jax.jit
+    def step(state: PowerState, num_keys, num_vals, den_keys, den_vals, ref_key):
+        a = state.arena
+        eps = cfg.eps
+        key_iter = jax.random.fold_in(state.key, state.iterat)
+        vals0 = jnp.where(a.valid, a.vals[0], 0.0)
+
+        den_before = ar.dot(a, den_keys, den_vals, row=0)
+
+        flat_words, flat_amps, flat_occ, flat_diag, flat_ini = spawn_fn(
+            a.keys, a.occ, vals0, -eps, key_iter
+        )
+        flat_words = jnp.where(
+            (flat_amps != 0)[:, None],
+            flat_words,
+            jnp.asarray(dets.invalid_det(a.n_words)),
+        )
+
+        a2, stats = ar.accumulate(
+            a, flat_words, flat_amps, flat_occ, flat_diag, flat_ini,
+            origin_row=0, dest_row=1,
+        )
+
+        # death / cloning + combine (frisys_mol.cpp:487-496)
+        new_v = a2.vals[0] * (1 - eps * (a2.diag - state.en_shift)) + a2.vals[1]
+        new_v = jnp.where(a2.valid, new_v, 0.0)
+
+        a2v = ar.set_row(a2, 0, new_v)
+        if estimator == "before_after":
+            num_after = ar.dot(a2v, den_keys, den_vals, row=0)
+            proj_num = ((1 + eps * state.en_shift) * den_before - num_after) / eps
+            proj_den = den_before
+        else:
+            proj_num = ar.dot(a2v, num_keys, num_vals, row=0)
+            proj_den = ar.dot(a2v, den_keys, den_vals, row=0)
+
+        keep, n_left, loc_norm = compress.find_preserve(
+            jnp.abs(new_v), cfg.target_nonz
+        )
+        glob_norm = loc_norm + jnp.sum(jnp.where(keep, jnp.abs(new_v), 0.0))
+
+        do_shift = (state.iterat + 1) % cfg.shift_interval == 0
+        new_shift, new_last = compress.adjust_shift(
+            state.en_shift, glob_norm, state.last_norm, cfg.target_norm,
+            cfg.shift_damping / cfg.shift_interval / eps,
+        )
+        en_shift = jnp.where(do_shift, new_shift, state.en_shift)
+        last_norm = jnp.where(do_shift, new_last, state.last_norm)
+
+        rn = jax.random.uniform(key_iter, dtype=jnp.float64)
+        comp_v = compress.sys_comp(new_v, keep, n_left, rn, loc_norm)
+
+        a3 = ar.set_row(ar.set_row(a2, 0, comp_v), 1, jnp.zeros_like(comp_v))
+        is_ref = dets.det_eq(a3.keys, ref_key[None, :])
+        a3 = ar.compact(a3, (comp_v != 0) | is_ref)
+
+        metrics = {
+            "proj_num": proj_num,
+            "proj_den": proj_den,
+            "norm": glob_norm,
+            "shift": en_shift,
+            "n_dets": a3.n_used,
+            "n_ini": jnp.sum(
+                (jnp.abs(comp_v) >= cfg.init_thresh) & (comp_v != 0),
+                dtype=jnp.int32,
+            ),
+            "overflow": stats["overflow"],
+        }
+        return (
+            PowerState(a3, en_shift, last_norm, state.key, state.iterat + 1),
+            metrics,
+        )
+
+    @partial(jax.jit, static_argnames=("n_iter",))
+    def run_steps(state, num_keys, num_vals, den_keys, den_vals, ref_key,
+                  n_iter: int):
+        def body(s, _):
+            return step(s, num_keys, num_vals, den_keys, den_vals, ref_key)
+
+        return lax.scan(body, state, None, length=n_iter)
+
+    return step, run_steps
+
+
+def per_parent_ini(vals, init_thresh, n_per):
+    """Initiator flags for spawners that emit n_per candidates per parent
+    (|v_parent| >= threshold, frisys_mol.cpp:438)."""
+    return jnp.repeat(jnp.abs(vals) >= init_thresh, n_per)
+
+
+def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
+    """Wrap a whole-batch spawn function with fixed-size chunking via lax.map
+    (bounds the candidate-buffer memory for exact H application).
+
+    ``spawn_one`` must return *flat* arrays of size B * NC for a B-row input.
+    """
+    if not batch or batch >= capacity:
+        return spawn_one
+
+    def spawn(keys, occ, vals, h_fac, key):
+        c = keys.shape[0]
+        n_chunks = -(-c // batch)
+        pad = n_chunks * batch - c
+        if pad:
+            keys = jnp.concatenate(
+                [keys, jnp.tile(dets.invalid_det(n_words), (pad, 1))]
+            )
+            occ = jnp.concatenate([occ, jnp.zeros((pad, n_elec), occ.dtype)])
+            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+        def one(args):
+            k, o, v = args
+            return spawn_one(k, o, v, h_fac, key)
+
+        w, amp, oc, dg, ini = lax.map(
+            one,
+            (
+                keys.reshape(n_chunks, batch, -1),
+                occ.reshape(n_chunks, batch, -1),
+                vals.reshape(n_chunks, batch),
+            ),
+        )
+        take = c * (amp.shape[1] // batch)
+        return (
+            w.reshape(-1, n_words)[:take],
+            amp.reshape(-1)[:take],
+            oc.reshape(-1, n_elec)[:take],
+            dg.reshape(-1)[:take],
+            ini.reshape(-1)[:take],
+        )
+
+    return spawn

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 import dense_fci
-from fries_tpu.drivers import frifull
+from fries_tpu.drivers import frifull, power
 from fries_tpu.ops import molecule as mol
 
 
@@ -34,13 +34,11 @@ def system():
 
 def test_deterministic_power_method_converges(system):
     ham, e0 = system
-    cfg = frifull.FrifullConfig(eps=0.05, target_nonz=256, capacity=128)
-    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
-    state, aux = frifull.init_state(ham, cfg, seed=0)
-    state, traj = frifull.run_steps(
-        ham, tmpl, cfg, state,
-        aux["trial_keys"], aux["trial_vals"], aux["ref_key"], aux["e_ref"],
-        400,
+    cfg = power.PowerConfig(eps=0.05, target_nonz=256, capacity=128)
+    step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 400,
     )
     assert not bool(np.asarray(traj["overflow"]).any())
     e_est = np.asarray(traj["proj_num"]) / np.asarray(traj["proj_den"])
@@ -52,15 +50,13 @@ def test_deterministic_power_method_converges(system):
 
 def test_stochastic_compression_agrees(system):
     ham, e0 = system
-    cfg = frifull.FrifullConfig(
+    cfg = power.PowerConfig(
         eps=0.05, target_nonz=40, capacity=128, target_norm=300.0
     )
-    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
-    state, aux = frifull.init_state(ham, cfg, seed=3)
-    state, traj = frifull.run_steps(
-        ham, tmpl, cfg, state,
-        aux["trial_keys"], aux["trial_vals"], aux["ref_key"], aux["e_ref"],
-        1500,
+    step, run_steps, state, aux = frifull.build(ham, cfg, seed=3)
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 1500,
     )
     assert not bool(np.asarray(traj["overflow"]).any())
     num = np.asarray(traj["proj_num"])[500:]

@@ -1,0 +1,178 @@
+"""Flagship frisys (HB-PP factorized FRI) tests.
+
+The sharpest check: with compression budgets exceeding the number of sampling
+paths, every comp_sub level keeps everything exactly and the five-level
+factorization must reconstruct -eps * H_offdiag * v EXACTLY (the conditional
+probabilities cancel against calc_norm_wt).  Then end-to-end energies vs
+dense FCI, for both the normalized and unnormalized HB-PP distributions.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dense_fci
+from fries_tpu import dets
+from fries_tpu.drivers import frisys
+from fries_tpu.ops import heat_bath as hb
+from fries_tpu.ops import molecule as mol
+
+
+def build_ham(n_orb, n_elec, symm=None, seed=0):
+    rng = np.random.default_rng(seed)
+    h, eris = dense_fci.random_integrals(rng, n_orb)
+    if symm is None:
+        symm = np.zeros(n_orb, np.int32)
+    # project out symmetry-violating integrals
+    sp = symm[:, None] == symm[None, :]
+    h = np.where(sp, h, 0.0)
+    g = symm
+    allowed = (
+        g[:, None, None, None] ^ g[None, :, None, None]
+        ^ g[None, None, :, None] ^ g[None, None, None, :]
+    ) == 0
+    eris = np.where(allowed, eris, 0.0)
+    return mol.MolecularHamiltonian(
+        hcore=jnp.asarray(h), eris=jnp.asarray(eris),
+        symm=jnp.asarray(symm, jnp.int32), n_orb=n_orb, n_elec=n_elec,
+    ), h, eris
+
+
+def dense_spawn_map(ham, words, amps, n_bits):
+    out = {}
+    words = np.asarray(words)
+    amps = np.asarray(amps)
+    for i in range(len(amps)):
+        if amps[i] == 0:
+            continue
+        mask = 0
+        for b in range(n_bits):
+            if (words[i, b // 32] >> (b % 32)) & 1:
+                mask |= 1 << b
+        out[mask] = out.get(mask, 0.0) + amps[i]
+    return out
+
+
+@pytest.mark.parametrize("unnorm", [False, True])
+@pytest.mark.parametrize("with_symm", [False, True])
+def test_hbpp_exact_when_budget_large(unnorm, with_symm):
+    n_orb, n_elec = 5, 4
+    symm = np.array([0, 1, 0, 1, 0], np.int32) if with_symm else None
+    ham, h, eris = build_ham(n_orb, n_elec, symm=symm, seed=4)
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    tens = hb.setup(ham)
+    p_doub = frisys.hf_p_doub(ham, syminfo)
+
+    cfg = frisys.FrisysConfig(
+        eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
+        spawn_cap=4096, unnorm=unnorm,
+    )
+    spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
+
+    # a 3-determinant vector: HF + two excited dets
+    hf_words, hf_occ, _ = mol.hf_reference(ham)
+    d2, s2 = dets.double_parity(
+        hf_words[None], jnp.asarray([0]), jnp.asarray([6]),
+        jnp.asarray([3]), jnp.asarray([8]),
+    )
+    d3, s3 = dets.single_parity(hf_words[None], jnp.asarray([1]), jnp.asarray([3]))
+    keys = jnp.concatenate([hf_words[None], d2, d3])
+    if with_symm:
+        keys = keys[:1]  # excited dets above may violate symmetry; HF only
+    occ = dets.occ_list(keys, 2 * n_orb, n_elec)
+    vals = jnp.asarray([1.0, -0.5, 0.25][: keys.shape[0]])
+
+    from fries_tpu.runtime import arena as ar
+    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
+    a = ar.from_unsorted(
+        a, keys, vals[None, :], occ, jnp.zeros(keys.shape[0])
+    )
+    avals = jnp.where(a.valid, a.vals[0], 0.0)
+
+    w, amp, _, _, _ = spawn(a.keys, a.occ, avals, -cfg.eps, jax.random.key(0))
+    got = dense_spawn_map(ham, w, amp, 2 * n_orb)
+
+    # exact reference
+    tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
+    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, a.occ, avals, -cfg.eps)
+    want = dense_spawn_map(ham, ew.reshape(-1, ham.n_words), ea.reshape(-1), 2 * n_orb)
+
+    all_keys = set(got) | set(want)
+    for k in all_keys:
+        np.testing.assert_allclose(
+            got.get(k, 0.0), want.get(k, 0.0), rtol=1e-8, atol=1e-12,
+            err_msg=f"unnorm={unnorm} with_symm={with_symm} det={k:x}",
+        )
+
+
+@pytest.mark.parametrize("unnorm", [False, True])
+def test_hbpp_unbiased_small_budget(unnorm):
+    """E[spawn] over many repetitions must equal -eps*H_offdiag*v."""
+    n_orb, n_elec = 5, 4
+    ham, h, eris = build_ham(n_orb, n_elec, seed=5)
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    tens = hb.setup(ham)
+    p_doub = frisys.hf_p_doub(ham, syminfo)
+    cfg = frisys.FrisysConfig(
+        eps=0.01, vec_nonz=64, matr_samp=30, capacity=8,
+        spawn_cap=512, unnorm=unnorm,
+    )
+    spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
+
+    hf_words, hf_occ, _ = mol.hf_reference(ham)
+    from fries_tpu.runtime import arena as ar
+    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
+    a = ar.from_unsorted(
+        a, hf_words[None], jnp.asarray([[1.0]]), hf_occ[None], jnp.zeros(1)
+    )
+    avals = jnp.where(a.valid, a.vals[0], 0.0)
+
+    n_rep = 600
+    keys = jax.random.split(jax.random.key(7), n_rep)
+    w, amp, _, _, _ = jax.jit(
+        jax.vmap(lambda k: spawn(a.keys, a.occ, avals, -cfg.eps, k))
+    )(keys)
+
+    acc = {}
+    w = np.asarray(w)
+    amp = np.asarray(amp)
+    for r in range(n_rep):
+        m = dense_spawn_map(ham, w[r], amp[r], 2 * n_orb)
+        for k, v in m.items():
+            acc[k] = acc.get(k, 0.0) + v / n_rep
+
+    tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
+    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, a.occ, avals, -cfg.eps)
+    want = dense_spawn_map(ham, ew.reshape(-1, ham.n_words), ea.reshape(-1), 2 * n_orb)
+
+    tot_want = sum(abs(v) for v in want.values())
+    err = 0.0
+    for k in set(acc) | set(want):
+        err = max(err, abs(acc.get(k, 0.0) - want.get(k, 0.0)))
+    # stochastic tolerance: a few sigma of the per-element estimator noise
+    assert err < 0.25 * tot_want / np.sqrt(n_rep), (err, tot_want)
+
+
+def test_frisys_end_to_end_energy():
+    ham, h, eris = build_ham(5, 4, seed=11)
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, 5, 2, 2)
+    e0, _ = dense_fci.ground_state(dense_h)
+    cfg = frisys.FrisysConfig(
+        eps=0.05, vec_nonz=50, matr_samp=150, capacity=128,
+        spawn_cap=512, target_norm=300.0,
+    )
+    step, run_steps, state, aux = frisys.build(ham, cfg, seed=2)
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 2000,
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    num = np.asarray(traj["proj_num"])[600:]
+    den = np.asarray(traj["proj_den"])[600:]
+    e_est = float(aux["e_ref"]) + num.sum() / den.sum()
+    blocks = np.array_split(num, 10)
+    dblocks = np.array_split(den, 10)
+    bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
+    sigma = bm.std() / np.sqrt(len(bm))
+    assert abs(e_est - e0) < max(5 * sigma, 0.03), (e_est, e0, sigma)
