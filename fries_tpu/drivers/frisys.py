@@ -49,6 +49,9 @@ class FrisysConfig:
     shift_interval: int = 10
     shift_damping: float = 0.05
     unnorm: bool = False    # HB_unnorm distribution variant
+    axis_name: str | None = None
+    n_shards: int = 1
+    exchange_cap: int = 0
 
     def power(self) -> power.PowerConfig:
         return power.PowerConfig(
@@ -59,6 +62,9 @@ class FrisysConfig:
             target_norm=self.target_norm,
             shift_interval=self.shift_interval,
             shift_damping=self.shift_damping,
+            axis_name=self.axis_name,
+            n_shards=self.n_shards,
+            exchange_cap=self.exchange_cap,
         )
 
 
@@ -98,7 +104,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
         maskA = jnp.ones((c, 2), bool)
         val, parent, sub, _, ovf = compress.comp_sub(
-            absv, ndiv, subw, maskA, m_samp, rns[0], s_cap
+            absv, ndiv, subw, maskA, m_samp, rns[0], s_cap,
+            axis_name=cfg.axis_name,
         )
         overflow |= ovf
         det_idx = jnp.where(parent >= 0, parent, 0)
@@ -134,7 +141,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
         maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valB_in, ndivB, jnp.where(maskB, probsB, 0.0), maskB, m_samp, rns[1], s_cap
+            valB_in, ndivB, jnp.where(maskB, probsB, 0.0), maskB, m_samp, rns[1], s_cap,
+            axis_name=cfg.axis_name,
         )
         overflow |= ovf
         live = parent >= 0
@@ -167,7 +175,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
         maskC = is_doub[:, None] & (probsC > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valC_in, ndivC, jnp.where(maskC, probsC, 0.0), maskC, m_samp, rns[2], s_cap
+            valC_in, ndivC, jnp.where(maskC, probsC, 0.0), maskC, m_samp, rns[2], s_cap,
+            axis_name=cfg.axis_name,
         )
         overflow |= ovf
         live = parent >= 0
@@ -196,7 +205,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
         maskD = is_doub[:, None] & (probsD > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valD_in, ndivD, jnp.where(maskD, probsD, 0.0), maskD, m_samp, rns[3], s_cap
+            valD_in, ndivD, jnp.where(maskD, probsD, 0.0), maskD, m_samp, rns[3], s_cap,
+            axis_name=cfg.axis_name,
         )
         overflow |= ovf
         live = parent >= 0
@@ -235,7 +245,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valE_in = jnp.where(is_doub & (rowsumE <= 0), 0.0, val)
         maskE = is_doub[:, None] & (probsE > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valE_in, ndivE, jnp.where(maskE, probsE, 0.0), maskE, m_samp, rns[4], s_cap
+            valE_in, ndivE, jnp.where(maskE, probsE, 0.0), maskE, m_samp, rns[4], s_cap,
+            axis_name=cfg.axis_name,
         )
         overflow |= ovf
         live = parent >= 0
@@ -406,3 +417,57 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
     )
     state = power.fresh_state(a, seed)
     return step, run_steps, state, aux
+
+
+def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
+                  mesh, init_val: float = 100.0):
+    """Multi-chip frisys: hash-sharded arena over a 1-D mesh with all-to-all
+    spawn exchange (the TPU analogue of the reference's MPI layout,
+    SURVEY.md section 5.8).  ``cfg`` must carry axis_name/n_shards matching
+    ``mesh``; capacity and budgets are per shard / global respectively.
+
+    Returns (sharded_step, sharded_run, state, aux).
+    """
+    from fries_tpu import parallel
+
+    assert cfg.axis_name and cfg.n_shards == mesh.devices.size
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    tens = hb.setup(ham)
+    p_doub = hf_p_doub(ham, syminfo)
+    hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+
+    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en)
+    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
+    sharded_step, sharded_run = parallel.shard_stepper(
+        step, run_steps, mesh, cfg.axis_name
+    )
+
+    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+    tw, ta, _ = mol.exact_offdiag_batch(
+        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
+    )
+    tw = np.asarray(tw[0])
+    ta = np.asarray(ta[0])
+    keep = ta != 0
+    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
+    htrial_vals = np.concatenate([[0.0], ta[keep]])
+
+    state = parallel.sharded_state(
+        hf_words[None],
+        jnp.asarray([[init_val], [0.0]]),
+        hf_occ[None],
+        jnp.zeros((1,)),
+        cfg.n_shards,
+        cfg.capacity,
+        seed,
+    )
+    aux = {
+        "e_ref": hf_en,
+        "num_keys": jnp.asarray(htrial_keys),
+        "num_vals": jnp.asarray(htrial_vals),
+        "den_keys": hf_words[None],
+        "den_vals": jnp.ones((1,)),
+        "ref_key": hf_words,
+        "p_doub": p_doub,
+    }
+    return sharded_step, sharded_run, state, aux

@@ -29,18 +29,25 @@ from jax import lax
 
 from fries_tpu import compress, dets
 from fries_tpu.runtime import arena as ar
+from fries_tpu.runtime import shard as sh
 
 
 @dataclass(frozen=True)
 class PowerConfig:
     eps: float
-    target_nonz: int        # vector compression budget
+    target_nonz: int        # vector compression budget (global across shards)
     capacity: int           # max determinants held (per shard)
     init_thresh: float = 0.0
     target_norm: float = 0.0
     shift_interval: int = 10
     shift_damping: float = 0.05
     batch: int = 0          # chunk size for spawning (0 = whole arena)
+    # multi-chip: set axis_name/n_shards when running under shard_map over a
+    # 1-D mesh; exchange_cap is the per-destination bucket capacity of the
+    # all-to-all spawn exchange (0 = auto)
+    axis_name: str | None = None
+    n_shards: int = 1
+    exchange_cap: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -74,6 +81,10 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         frisys_mol.cpp:517-520).
     """
     assert estimator in ("before_after", "direct")
+    axis = cfg.axis_name
+
+    def gsum(x):
+        return lax.psum(x, axis) if axis else x
 
     @jax.jit
     def step(state: PowerState, num_keys, num_vals, den_keys, den_vals, ref_key):
@@ -82,7 +93,7 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         key_iter = jax.random.fold_in(state.key, state.iterat)
         vals0 = jnp.where(a.valid, a.vals[0], 0.0)
 
-        den_before = ar.dot(a, den_keys, den_vals, row=0)
+        den_before = gsum(ar.dot(a, den_keys, den_vals, row=0))
 
         flat_words, flat_amps, flat_occ, flat_diag, flat_ini = spawn_fn(
             a.keys, a.occ, vals0, -eps, key_iter
@@ -92,6 +103,32 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
             flat_words,
             jnp.asarray(dets.invalid_det(a.n_words)),
         )
+
+        exch_overflow = jnp.bool_(False)
+        if axis and cfg.n_shards > 1:
+            # route spawns to their owning shards over ICI
+            # (replaces Adder::perform_add, vec_utils.hpp:991-1019)
+            cap = cfg.exchange_cap or max(
+                1, 2 * flat_amps.shape[0] // cfg.n_shards
+            )
+            target = sh.shard_of_words(flat_words, cfg.n_shards)
+            received, exch_overflow = sh.exchange(
+                {
+                    "keys": flat_words,
+                    "amps": flat_amps,
+                    "occ": flat_occ,
+                    "diag": flat_diag,
+                    "ini": flat_ini,
+                },
+                target, cfg.n_shards, cap, axis,
+            )
+            flat_words = received["keys"]
+            flat_amps = jnp.where(
+                ~dets.is_invalid(flat_words), received["amps"], 0.0
+            )
+            flat_occ = received["occ"]
+            flat_diag = received["diag"]
+            flat_ini = received["ini"]
 
         a2, stats = ar.accumulate(
             a, flat_words, flat_amps, flat_occ, flat_diag, flat_ini,
@@ -104,17 +141,19 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
 
         a2v = ar.set_row(a2, 0, new_v)
         if estimator == "before_after":
-            num_after = ar.dot(a2v, den_keys, den_vals, row=0)
+            num_after = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
             proj_num = ((1 + eps * state.en_shift) * den_before - num_after) / eps
             proj_den = den_before
         else:
-            proj_num = ar.dot(a2v, num_keys, num_vals, row=0)
-            proj_den = ar.dot(a2v, den_keys, den_vals, row=0)
+            proj_num = gsum(ar.dot(a2v, num_keys, num_vals, row=0))
+            proj_den = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
 
         keep, n_left, loc_norm = compress.find_preserve(
-            jnp.abs(new_v), cfg.target_nonz
+            jnp.abs(new_v), cfg.target_nonz, axis_name=axis
         )
-        glob_norm = loc_norm + jnp.sum(jnp.where(keep, jnp.abs(new_v), 0.0))
+        glob_norm = gsum(
+            loc_norm + jnp.sum(jnp.where(keep, jnp.abs(new_v), 0.0))
+        )
 
         do_shift = (state.iterat + 1) % cfg.shift_interval == 0
         new_shift, new_last = compress.adjust_shift(
@@ -125,7 +164,7 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         last_norm = jnp.where(do_shift, new_last, state.last_norm)
 
         rn = jax.random.uniform(key_iter, dtype=jnp.float64)
-        comp_v = compress.sys_comp(new_v, keep, n_left, rn, loc_norm)
+        comp_v = compress.sys_comp(new_v, keep, n_left, rn, loc_norm, axis_name=axis)
 
         a3 = ar.set_row(ar.set_row(a2, 0, comp_v), 1, jnp.zeros_like(comp_v))
         is_ref = dets.det_eq(a3.keys, ref_key[None, :])
@@ -136,12 +175,18 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
             "proj_den": proj_den,
             "norm": glob_norm,
             "shift": en_shift,
-            "n_dets": a3.n_used,
-            "n_ini": jnp.sum(
-                (jnp.abs(comp_v) >= cfg.init_thresh) & (comp_v != 0),
-                dtype=jnp.int32,
+            "n_dets": gsum(a3.n_used),
+            "n_ini": gsum(
+                jnp.sum(
+                    (jnp.abs(comp_v) >= cfg.init_thresh) & (comp_v != 0),
+                    dtype=jnp.int32,
+                )
             ),
-            "overflow": stats["overflow"],
+            "overflow": (
+                (gsum(stats["overflow"].astype(jnp.int32)) > 0) | exch_overflow
+                if axis
+                else stats["overflow"] | exch_overflow
+            ),
         }
         return (
             PowerState(a3, en_shift, last_norm, state.key, state.iterat + 1),

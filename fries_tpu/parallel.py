@@ -1,0 +1,151 @@
+"""Device-mesh orchestration: shard_map wiring for the hash-distributed
+solution vector.
+
+The reference's MPI runtime (SURVEY.md section 2's "1-D data parallelism over
+vector indices via hash sharding") maps to a 1-D ``jax.sharding.Mesh``:
+
+  * arena rows are sharded over the mesh axis (each chip holds a sorted,
+    capacity-padded sub-arena of the determinants it owns by hash);
+  * all collectives (psum reductions, the all-to-all spawn exchange, shard-
+    prefix norms for the shared systematic grid) happen inside one
+    ``shard_map``-wrapped jitted step, riding ICI;
+  * scalar state (shift, PRNG key, iteration counter) is replicated - every
+    shard computes identical updates from psum'd quantities, replacing the
+    reference's rank-0 broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fries_tpu import dets
+from fries_tpu.drivers import power
+from fries_tpu.runtime import arena as ar
+from fries_tpu.runtime import shard as sh
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def arena_spec(axis: str = AXIS) -> ar.Arena:
+    return ar.Arena(
+        keys=P(axis), vals=P(None, axis), occ=P(axis), diag=P(axis), n_used=P(axis)
+    )
+
+
+def state_spec(axis: str = AXIS) -> power.PowerState:
+    return power.PowerState(
+        arena=arena_spec(axis), en_shift=P(), last_norm=P(), key=P(), iterat=P()
+    )
+
+
+def metrics_spec():
+    return {
+        "proj_num": P(),
+        "proj_den": P(),
+        "norm": P(),
+        "shift": P(),
+        "n_dets": P(),
+        "n_ini": P(),
+        "overflow": P(),
+    }
+
+
+def distribute_rows(keys, vals, occ, diag, n_shards: int, capacity: int):
+    """Host-side: route initial rows to their owning shards and build the
+    stacked global arena arrays ((n*C, ...), vals (R, n*C)).
+
+    Each shard block is sorted and sentinel-padded, matching the layout the
+    sharded step maintains.
+    """
+    keys = np.asarray(keys)
+    vals = np.asarray(vals)
+    occ = np.asarray(occ)
+    diag = np.asarray(diag)
+    w = keys.shape[1]
+    r = vals.shape[0]
+    shard_ids = np.asarray(sh.shard_of_words(jnp.asarray(keys), n_shards))
+
+    g_keys = np.tile(np.asarray(dets.invalid_det(w)), (n_shards * capacity, 1))
+    g_vals = np.zeros((r, n_shards * capacity), vals.dtype)
+    g_occ = np.zeros((n_shards * capacity, occ.shape[1]), np.int32)
+    g_diag = np.zeros((n_shards * capacity,), np.float64)
+    g_nused = np.zeros((n_shards,), np.int32)
+
+    for s in range(n_shards):
+        rows = np.where(shard_ids == s)[0]
+        assert len(rows) <= capacity, "initial rows exceed shard capacity"
+        # sort rows lexicographically by key words (most significant last word)
+        if len(rows):
+            order = np.lexsort(tuple(keys[rows][:, wi] for wi in range(w)))
+            rows = rows[order]
+        base = s * capacity
+        for j, ri in enumerate(rows):
+            g_keys[base + j] = keys[ri]
+            g_vals[:, base + j] = vals[:, ri]
+            g_occ[base + j] = occ[ri]
+            g_diag[base + j] = diag[ri]
+        g_nused[s] = len(rows)
+
+    return (
+        jnp.asarray(g_keys),
+        jnp.asarray(g_vals),
+        jnp.asarray(g_occ),
+        jnp.asarray(g_diag),
+        jnp.asarray(g_nused),
+    )
+
+
+def sharded_state(keys, vals, occ, diag, n_shards, capacity, seed) -> power.PowerState:
+    gk, gv, go, gd, gn = distribute_rows(keys, vals, occ, diag, n_shards, capacity)
+    a = ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn)
+    return power.PowerState(
+        arena=a,
+        en_shift=jnp.float64(0.0),
+        last_norm=jnp.float64(0.0),
+        key=jax.random.key(seed),
+        iterat=jnp.int32(0),
+    )
+
+
+def shard_stepper(step, run_steps, mesh: Mesh, axis: str = AXIS):
+    """Wrap the jitted (step, run_steps) in shard_map over the mesh."""
+    sspec = state_spec(axis)
+    repl = P()
+    est_specs = (repl, repl, repl, repl, repl)  # num/den keys+vals, ref_key
+
+    sharded_step = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(sspec,) + est_specs,
+            out_specs=(sspec, metrics_spec()),
+            check_vma=False,
+        )
+    )
+
+    def sharded_run(state, num_keys, num_vals, den_keys, den_vals, ref_key,
+                    n_iter: int):
+        fn = jax.jit(
+            jax.shard_map(
+                lambda s, nk, nv, dk, dv, rk: run_steps(
+                    s, nk, nv, dk, dv, rk, n_iter
+                ),
+                mesh=mesh,
+                in_specs=(sspec,) + est_specs,
+                out_specs=(sspec, metrics_spec()),
+                check_vma=False,
+            )
+        )
+        return fn(state, num_keys, num_vals, den_keys, den_vals, ref_key)
+
+    return sharded_step, sharded_run

@@ -50,7 +50,8 @@ class Arena:
              DistVec::occ_orbs_, vec_utils.hpp:134).
       diag:  (C,) diagonal matrix elements (cached, like DistVec::matr_el_,
              vec_utils.hpp:139; semantics defined by the driver).
-      n_used: () int32 number of occupied slots.
+      n_used: (1,) int32 number of occupied slots (kept 1-D so the arena
+        shards cleanly under shard_map).
     """
 
     keys: jax.Array
@@ -84,7 +85,7 @@ def make(capacity: int, n_words: int, n_vecs: int, n_elec: int,
         vals=jnp.zeros((n_vecs, capacity), dtype=val_dtype),
         occ=jnp.zeros((capacity, n_elec), dtype=jnp.int32),
         diag=jnp.zeros((capacity,), dtype=jnp.float64),
-        n_used=jnp.int32(0),
+        n_used=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -118,7 +119,7 @@ def from_unsorted(arena: Arena, keys, vals, occ, diag) -> Arena:
         vals=vals[:, perm].astype(arena.vals.dtype),
         occ=occ[perm],
         diag=diag[perm].astype(jnp.float64),
-        n_used=jnp.sum(~dets.is_invalid(keys), dtype=jnp.int32),
+        n_used=jnp.sum(~dets.is_invalid(keys), dtype=jnp.int32)[None],
     )
 
 
@@ -247,7 +248,7 @@ def accumulate(
         vals=out_vals,
         occ=out_occ,
         diag=out_diag,
-        n_used=jnp.minimum(n_live, c),
+        n_used=jnp.minimum(n_live, c)[None],
     )
     return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
 
@@ -273,7 +274,7 @@ def compact(arena: Arena, keep_mask: jax.Array) -> Arena:
         vals=out_vals,
         occ=out_occ,
         diag=out_diag,
-        n_used=jnp.sum(keep, dtype=jnp.int32),
+        n_used=jnp.sum(keep, dtype=jnp.int32)[None],
     )
 
 

@@ -68,7 +68,7 @@ def test_accumulate_merges_duplicates():
     )
     a, stats = ar.accumulate(a, *sp)
     assert not bool(stats["overflow"])
-    assert int(a.n_used) == 2
+    assert int(a.n_used[0]) == 2
     d = dense_of(a)
     assert np.isclose(d[0b1111], 3.0)
     assert np.isclose(d[0b10111], 5.0)
@@ -128,7 +128,7 @@ def test_compact_and_zero_removal():
     a2 = ar.compact(a, keep)
     d = dense_of(a2)
     assert set(d.keys()) == {3, 9}
-    assert int(a2.n_used) == 2
+    assert int(a2.n_used[0]) == 2
     keys = a2.keys
     less = np.asarray(dets.det_less(keys[:-1], keys[1:]))
     eq = np.asarray(dets.det_eq(keys[:-1], keys[1:]))

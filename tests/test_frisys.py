@@ -66,7 +66,7 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
 
     cfg = frisys.FrisysConfig(
         eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
-        spawn_cap=4096, unnorm=unnorm,
+        spawn_cap=1024, unnorm=unnorm,
     )
     spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
 
@@ -90,7 +90,9 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
     )
     avals = jnp.where(a.valid, a.vals[0], 0.0)
 
-    w, amp, _, _, _ = spawn(a.keys, a.occ, avals, -cfg.eps, jax.random.key(0))
+    w, amp, _, _, _ = jax.jit(spawn)(
+        a.keys, a.occ, avals, -cfg.eps, jax.random.key(0)
+    )
     got = dense_spawn_map(ham, w, amp, 2 * n_orb)
 
     # exact reference
