@@ -1,0 +1,265 @@
+"""Initiator FCIQMC for molecules: integer walkers (fciqmc_mol.cpp, Booth et
+al. 2009) and the floating-point variant (fciqmc_fp_mol.cpp, Blunt et al.
+2015), with near-uniform or heat-bath Power-Pitzer excitation generation.
+
+TPU redesign of the per-walker loops (fciqmc_mol.cpp:331-412): the dynamic
+total walker count becomes a statically-capped *attempt buffer* - attempt
+slot k is mapped to its parent determinant by searchsorted on the exclusive
+cumulative walker counts (the same output-slot inversion used by comp_sub) -
+and every attempt samples one excitation via the batched generators in
+ops.near_uniform.  Spawn counts use unbiased binomial rounding
+(round_binomially, compress_utils.cpp:19-27); death/cloning applies
+round_binomially((1 - eps (H_ii - S)) sign, n_walk) per determinant
+(fciqmc_mol.cpp:404-411).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fries_tpu import compress, dets
+from fries_tpu.drivers import power
+from fries_tpu.ops import heat_bath as hb
+from fries_tpu.ops import molecule as mol
+from fries_tpu.ops import near_uniform as nu
+from fries_tpu.runtime import arena as ar
+
+
+@dataclass(frozen=True)
+class FciqmcConfig:
+    eps: float
+    target_walkers: float   # target 1-norm for shift control
+    capacity: int
+    attempt_cap: int        # static spawn-attempt buffer (>= max total walkers)
+    init_thresh: float = 0.0
+    shift_interval: int = 10
+    shift_damping: float = 0.05
+    distribution: str = "NU"   # "NU" | "HB"
+    integer_walkers: bool = True
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FciqmcState:
+    arena: ar.Arena
+    en_shift: jax.Array
+    last_norm: jax.Array
+    key: jax.Array
+    iterat: jax.Array
+
+
+def _attempt_parents(n_walk, attempt_cap):
+    """Map attempt slots to parent determinant indices.
+
+    offsets = exclusive cumsum of per-determinant walker counts; slot k
+    belongs to the determinant whose interval contains k.
+    """
+    offsets = jnp.cumsum(n_walk) - n_walk
+    total = jnp.sum(n_walk)
+    slot = jnp.arange(attempt_cap, dtype=n_walk.dtype)
+    parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+    parent = jnp.clip(parent, 0, n_walk.shape[0] - 1)
+    valid = slot < total
+    return parent, valid, total
+
+
+def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
+          init_walkers: float = 100.0):
+    """Returns (step, run_steps, state, aux)."""
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    lookup = jnp.asarray(syminfo.lookup)
+    symm = jnp.asarray(syminfo.symm)
+    symm_counts = jnp.asarray(syminfo.counts)
+    tens = hb.setup(ham) if cfg.distribution == "HB" else None
+    from fries_tpu.drivers import frisys as _frisys
+
+    p_doub = _frisys.hf_p_doub(ham, syminfo)
+    hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    n_orb, n_elec = ham.n_orb, ham.n_elec
+    a_cap = cfg.attempt_cap
+    eps = cfg.eps
+
+    @jax.jit
+    def step(state: FciqmcState, num_keys, num_vals, den_keys, den_vals,
+             ref_key):
+        a = state.arena
+        key_iter = jax.random.fold_in(state.key, state.iterat)
+        k_split, k_spawn, k_death, k_round = jax.random.split(key_iter, 4)
+
+        vals0 = jnp.where(a.valid, a.vals[0], 0.0)
+        n_walk = jnp.abs(vals0)
+        if cfg.integer_walkers:
+            n_walk_int = jnp.round(n_walk).astype(jnp.int64)
+        else:
+            # fp variant: expected attempts proportional to |v|, at least one
+            # per occupied determinant (ceil), Blunt et al. 2015
+            n_walk_int = jnp.ceil(n_walk).astype(jnp.int64)
+        walk_sign = jnp.sign(vals0)
+
+        parent, valid, total = _attempt_parents(n_walk_int, a_cap)
+        overflow = total > a_cap
+
+        p_occ = a.occ[parent]
+        p_keys = a.keys[parent]
+        p_bits = dets.unpack_bits(p_keys, 2 * n_orb)
+        counts = hb.unocc_symm_counts(n_orb, n_elec, symm, symm_counts, p_occ)
+
+        u = jax.random.uniform(k_split, (a_cap,), dtype=jnp.float64)
+        is_doub = u < p_doub
+
+        kd, ks = jax.random.split(k_spawn)
+        if cfg.distribution == "HB":
+            d = nu.sample_doubles_heat_bath(
+                kd, tens, n_orb, n_elec, symm, lookup, p_occ, p_bits
+            )
+        else:
+            d = nu.sample_doubles(
+                kd, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts
+            )
+        s = nu.sample_singles(ks, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts)
+
+        # per-walker weight: fp variant scales by |v|/ceil(|v|) per attempt
+        per_attempt = jnp.where(
+            valid,
+            (n_walk[parent] / jnp.maximum(n_walk_int[parent], 1))
+            if not cfg.integer_walkers
+            else 1.0,
+            0.0,
+        )
+
+        dmel = mol.doub_matr_el(ham, d["o1"], d["o2"], d["u1"], d["u2"])
+        damp_mag = eps * dmel / d["prob"] / p_doub * per_attempt
+        dwords, dsign = dets.double_parity(p_keys, d["o1"], d["o2"], d["u1"], d["u2"])
+        dmask = valid & is_doub & d["valid"]
+
+        smel = mol.sing_matr_el(ham, s["o"], s["u"], p_occ)
+        samp_mag = eps * smel / s["prob"] / (1 - p_doub) * per_attempt
+        swords, ssign = dets.single_parity(p_keys, s["o"], s["u"])
+        smask = valid & ~is_doub & s["valid"]
+
+        mag = jnp.where(dmask, damp_mag, jnp.where(smask, samp_mag, 0.0))
+        sign_f = jnp.where(dmask, dsign, ssign).astype(jnp.float64)
+        spawn_val = -mag * sign_f * walk_sign[parent]
+        if cfg.integer_walkers:
+            # unbiased integer rounding of each spawn (fciqmc_mol.cpp:377)
+            rounded = compress.round_binomially(
+                k_round, jnp.abs(spawn_val), jnp.ones((a_cap,), jnp.int32)
+            ).astype(jnp.float64)
+            spawn_val = jnp.sign(spawn_val) * rounded
+        else:
+            # fp variant: stochastically round only small magnitudes
+            # (fciqmc_fp_mol.cpp:342-435)
+            small = jnp.abs(spawn_val) < 1.0
+            rounded = compress.round_binomially(
+                k_round, jnp.abs(spawn_val), jnp.ones((a_cap,), jnp.int32)
+            ).astype(jnp.float64)
+            spawn_val = jnp.where(
+                small, jnp.sign(spawn_val) * rounded, spawn_val
+            )
+
+        new_words = jnp.where(dmask[:, None], dwords, swords)
+        new_words = jnp.where(
+            (spawn_val != 0)[:, None],
+            new_words,
+            jnp.asarray(dets.invalid_det(ham.n_words)),
+        )
+        new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
+        new_diag = mol.diag_matrel_chunked(ham, new_occ) - hf_en
+        ini = n_walk[parent] > cfg.init_thresh
+
+        # death/cloning BEFORE merging spawns (fciqmc_mol.cpp:404-411):
+        # spawned walkers land on the post-death populations
+        death_p = (1 - eps * (a.diag - state.en_shift)) * walk_sign
+        if cfg.integer_walkers:
+            k_death2 = jax.random.fold_in(k_death, 1)
+            new_v = jnp.sign(death_p) * compress.round_binomially(
+                k_death2, jnp.abs(death_p), n_walk_int.astype(jnp.int32)
+            ).astype(jnp.float64)
+        else:
+            new_v = death_p * n_walk
+        new_v = jnp.where(a.valid, new_v, 0.0)
+
+        a1 = ar.set_row(a, 0, new_v)
+        a2, stats = ar.accumulate(
+            a1, new_words, spawn_val, new_occ, new_diag, ini,
+            origin_row=0, dest_row=0,
+        )
+
+        final_v = jnp.where(a2.valid, a2.vals[0], 0.0)
+
+        a2v = ar.set_row(a2, 0, final_v)
+        proj_num = ar.dot(a2v, num_keys, num_vals, row=0)
+        proj_den = ar.dot(a2v, den_keys, den_vals, row=0)
+
+        glob_norm = jnp.sum(jnp.abs(final_v))
+        do_shift = (state.iterat + 1) % cfg.shift_interval == 0
+        new_shift, new_last = compress.adjust_shift(
+            state.en_shift, glob_norm, state.last_norm, cfg.target_walkers,
+            cfg.shift_damping / cfg.shift_interval / eps,
+        )
+        en_shift = jnp.where(do_shift, new_shift, state.en_shift)
+        last_norm = jnp.where(do_shift, new_last, state.last_norm)
+
+        is_ref = dets.det_eq(a2v.keys, ref_key[None, :])
+        a3 = ar.compact(a2v, (final_v != 0) | is_ref)
+
+        metrics = {
+            "proj_num": proj_num,
+            "proj_den": proj_den,
+            "norm": glob_norm,
+            "shift": en_shift,
+            "n_dets": a3.n_used,
+            "overflow": stats["overflow"] | overflow,
+        }
+        return (
+            FciqmcState(a3, en_shift, last_norm, state.key, state.iterat + 1),
+            metrics,
+        )
+
+    @partial(jax.jit, static_argnames=("n_iter",))
+    def run_steps(state, num_keys, num_vals, den_keys, den_vals, ref_key,
+                  n_iter: int):
+        def body(st, _):
+            return step(st, num_keys, num_vals, den_keys, den_vals, ref_key)
+
+        return lax.scan(body, state, None, length=n_iter)
+
+    # trial = HF, htrial = (H - hf_en)|HF> (fciqmc_mol.cpp:180-214)
+    tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
+    tw, ta, _ = mol.exact_offdiag_batch(
+        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
+    )
+    tw = np.asarray(tw[0])
+    ta = np.asarray(ta[0])
+    keep = ta != 0
+    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
+    htrial_vals = np.concatenate([[0.0], ta[keep]])
+
+    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
+    a = ar.from_unsorted(
+        a, hf_words[None], jnp.asarray([[init_walkers]]), hf_occ[None],
+        jnp.zeros((1,)),
+    )
+    state = FciqmcState(
+        arena=a,
+        en_shift=jnp.float64(0.0),
+        last_norm=jnp.float64(0.0),
+        key=jax.random.key(seed),
+        iterat=jnp.int32(0),
+    )
+    aux = {
+        "e_ref": hf_en,
+        "num_keys": jnp.asarray(htrial_keys),
+        "num_vals": jnp.asarray(htrial_vals),
+        "den_keys": hf_words[None],
+        "den_vals": jnp.ones((1,)),
+        "ref_key": hf_words,
+        "p_doub": p_doub,
+    }
+    return step, run_steps, state, aux

@@ -351,7 +351,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
         new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
-        new_diag = mol.diag_matrel(ham, new_occ) - e_ref
+        new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
         ini = jnp.abs(vals[det_idx]) >= cfg.init_thresh
         return new_words, amps, new_occ, new_diag, ini
 

@@ -364,3 +364,22 @@ def exact_offdiag_batch(ham: MolecularHamiltonian, tmpl: ExcitationTemplate,
     sentinel = jnp.asarray(dets.invalid_det(ham.n_words))
     new_words = jnp.where(masks[..., None], new_words, sentinel)
     return new_words, amps, new_occ
+
+
+def diag_matrel_chunked(ham: MolecularHamiltonian, occ, chunk: int = 65536):
+    """diag_matrel evaluated in fixed-size chunks via lax.map.
+
+    The batched diagonal builds O(B * E^2) gather intermediates; for
+    million-row spawn batches that is multiple GB of HBM temps, so the hot
+    drivers evaluate it chunkwise.
+    """
+    b = occ.shape[0]
+    if b <= chunk:
+        return diag_matrel(ham, occ)
+    n_chunks = -(-b // chunk)
+    pad = n_chunks * chunk - b
+    occ_p = jnp.concatenate([occ, jnp.zeros((pad, occ.shape[1]), occ.dtype)])
+    out = jax.lax.map(
+        lambda o: diag_matrel(ham, o), occ_p.reshape(n_chunks, chunk, -1)
+    )
+    return out.reshape(-1)[:b]
