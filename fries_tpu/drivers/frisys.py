@@ -80,9 +80,17 @@ def _rank_to_index(mask, rank):
 
 def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
                       syminfo: mol.SymmInfo, p_doub: float, cfg: FrisysConfig,
-                      e_ref):
+                      e_ref, determ=None):
     """Stochastically-compressed H application conforming to the power-core
-    spawn interface."""
+    spawn interface.
+
+    ``determ`` (optional): the semistochastic deterministic subspace
+    (frisys_mol.cpp:347-401, 479-485) - dict with keys ``keys`` (D, W) member
+    determinants, ``from`` (DH,) member index of each dense H element,
+    ``words``/``amp``/``occ``/``diag`` (DH, ...) precomputed target
+    determinants and sign-carrying matrix elements.  Member determinants are
+    excluded from stochastic sampling; the dense block spawns exactly.
+    """
     n_orb = ham.n_orb
     n_elec = ham.n_elec
     half = n_elec // 2
@@ -91,10 +99,20 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
     symm = jnp.asarray(syminfo.symm)
     s_cap = cfg.spawn_cap
     m_samp = cfg.matr_samp
+    if determ is not None:
+        m_samp = m_samp - int(determ["n_elements"])
+        assert m_samp > 0, "matr_samp must exceed the dense H element count"
     unnorm = cfg.unnorm
 
     def spawn(keys, occ, vals, h_fac, key):
         c = keys.shape[0]
+        vals0_full = vals
+        if determ is not None:
+            dpos, dfound = dets.lookup_dets(keys, determ["keys"])
+            is_determ = jnp.zeros((c,), jnp.bool_).at[
+                jnp.where(dfound, dpos, c)
+            ].set(True, mode="drop")
+            vals = jnp.where(is_determ, 0.0, vals)
         absv = jnp.abs(vals)
         rns = jax.random.uniform(key, (6,), dtype=jnp.float64)
         overflow = jnp.bool_(False)
@@ -353,6 +371,24 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
         new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
         ini = jnp.abs(vals[det_idx]) >= cfg.init_thresh
+
+        if determ is not None:
+            # exact multiplication by the dense H block
+            # (frisys_mol.cpp:479-485): amp = h_fac * H_elem * v[from]
+            v_from = jnp.where(dfound, vals0_full[dpos], 0.0)[determ["from"]]
+            d_amp = h_fac * determ["amp"] * v_from
+            d_words = jnp.where(
+                (d_amp != 0)[:, None],
+                determ["words"],
+                jnp.asarray(dets.invalid_det(ham.n_words)),
+            )
+            new_words = jnp.concatenate([new_words, d_words])
+            amps = jnp.concatenate([amps, d_amp])
+            new_occ = jnp.concatenate([new_occ, determ["occ"]])
+            new_diag = jnp.concatenate([new_diag, determ["diag"]])
+            ini = jnp.concatenate(
+                [ini, jnp.ones((d_amp.shape[0],), jnp.bool_)]
+            )
         return new_words, amps, new_occ, new_diag, ini
 
     return spawn
@@ -376,17 +412,49 @@ def hf_p_doub(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo):
     return n_doub / (n_doub + n_sing)
 
 
+def build_determ_block(ham: mol.MolecularHamiltonian, determ_keys):
+    """Precompute the dense (deterministic-subspace) H block: every
+    symmetry-allowed excitation from each member determinant with its
+    sign-carrying matrix element (frisys_mol.cpp:347-401)."""
+    determ_keys = jnp.asarray(determ_keys)
+    d = determ_keys.shape[0]
+    occ = dets.occ_list(determ_keys, ham.n_bits, ham.n_elec)
+    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+    w, amp, nocc = mol.exact_offdiag_batch(
+        ham, tmpl, determ_keys, occ, jnp.ones((d,)), 1.0
+    )
+    nc = amp.shape[1]
+    flat_w = w.reshape(-1, ham.n_words)
+    flat_amp = amp.reshape(-1)
+    flat_occ = nocc.reshape(-1, ham.n_elec)
+    _, _, hf_en = mol.hf_reference(ham)
+    flat_diag = mol.diag_matrel_chunked(ham, flat_occ) - hf_en
+    from_idx = jnp.repeat(jnp.arange(d, dtype=jnp.int32), nc)
+    n_elements = int(jnp.sum(flat_amp != 0))
+    return {
+        "keys": determ_keys,
+        "occ": flat_occ,
+        "words": flat_w,
+        "amp": flat_amp,
+        "diag": flat_diag,
+        "from": from_idx,
+        "n_elements": n_elements,
+    }
+
+
 def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
-          init_val: float = 100.0):
+          init_val: float = 100.0, determ_keys=None):
     """Assemble the flagship frisys workload: HB-PP spawner + power core +
     HF trial / H-trial estimator vectors.  Returns (step, run_steps, state,
-    aux)."""
+    aux); aux["protected_keys"] carries the deterministic subspace for the
+    power core when ``determ_keys`` is given."""
     syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
     tens = hb.setup(ham)
     p_doub = hf_p_doub(ham, syminfo)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
 
-    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en)
+    determ = build_determ_block(ham, determ_keys) if determ_keys is not None else None
+    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en, determ=determ)
     step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
 
     # trial = HF unit vector; htrial = (H - hf_en) |trial>
@@ -408,13 +476,34 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
         "den_vals": jnp.ones((1,)),
         "ref_key": hf_words,
         "p_doub": p_doub,
+        "protected_keys": determ["keys"] if determ is not None else None,
     }
 
     a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
-    a = ar.from_unsorted(
-        a, hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
-        jnp.zeros((1,)),
-    )
+    if determ is not None:
+        # seed the vector with the deterministic-subspace members so the
+        # dense block is live from the start (reference init_dense,
+        # vec_utils.hpp:858-897); HF keeps its initial amplitude
+        dkeys = np.asarray(determ["keys"])
+        init_keys = [np.asarray(hf_words)]
+        init_vals = [init_val]
+        for row in dkeys:
+            if not np.array_equal(row, np.asarray(hf_words)):
+                init_keys.append(row)
+                init_vals.append(0.0)
+        init_keys = jnp.asarray(np.stack(init_keys))
+        init_occ = dets.occ_list(init_keys, ham.n_bits, ham.n_elec)
+        init_diag = mol.diag_matrel(ham, init_occ) - hf_en
+        a = ar.from_unsorted(
+            a, init_keys,
+            jnp.stack([jnp.asarray(init_vals), jnp.zeros(len(init_vals))]),
+            init_occ, init_diag,
+        )
+    else:
+        a = ar.from_unsorted(
+            a, hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
+            jnp.zeros((1,)),
+        )
     state = power.fresh_state(a, seed)
     return step, run_steps, state, aux
 

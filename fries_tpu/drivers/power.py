@@ -87,7 +87,12 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         return lax.psum(x, axis) if axis else x
 
     @jax.jit
-    def step(state: PowerState, num_keys, num_vals, den_keys, den_vals, ref_key):
+    def step(state: PowerState, num_keys, num_vals, den_keys, den_vals, ref_key,
+             protected_keys=None):
+        """``protected_keys`` (P, W): determinants exempt from stochastic
+        compression and deletion - the semistochastic deterministic subspace
+        (frisys_mol.cpp:501-539: find_preserve/sys_comp skip the dense
+        prefix; glob_norm += dense_norm)."""
         a = state.arena
         eps = cfg.eps
         key_iter = jax.random.fold_in(state.key, state.iterat)
@@ -148,11 +153,22 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
             proj_num = gsum(ar.dot(a2v, num_keys, num_vals, row=0))
             proj_den = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
 
+        if protected_keys is not None:
+            ppos, pfound = ar.lookup(a2, protected_keys)
+            prot = jnp.zeros((a2.capacity,), jnp.bool_).at[
+                jnp.where(pfound, ppos, a2.capacity)
+            ].set(True, mode="drop")
+        else:
+            prot = jnp.zeros((a2.capacity,), jnp.bool_)
+        stoch_v = jnp.where(prot, 0.0, new_v)
+
         keep, n_left, loc_norm = compress.find_preserve(
-            jnp.abs(new_v), cfg.target_nonz, axis_name=axis
+            jnp.abs(stoch_v), cfg.target_nonz, axis_name=axis
         )
         glob_norm = gsum(
-            loc_norm + jnp.sum(jnp.where(keep, jnp.abs(new_v), 0.0))
+            loc_norm
+            + jnp.sum(jnp.where(keep, jnp.abs(stoch_v), 0.0))
+            + jnp.sum(jnp.where(prot, jnp.abs(new_v), 0.0))
         )
 
         do_shift = (state.iterat + 1) % cfg.shift_interval == 0
@@ -164,11 +180,12 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         last_norm = jnp.where(do_shift, new_last, state.last_norm)
 
         rn = jax.random.uniform(key_iter, dtype=jnp.float64)
-        comp_v = compress.sys_comp(new_v, keep, n_left, rn, loc_norm, axis_name=axis)
+        comp_v = compress.sys_comp(stoch_v, keep, n_left, rn, loc_norm, axis_name=axis)
+        comp_v = jnp.where(prot, new_v, comp_v)
 
         a3 = ar.set_row(ar.set_row(a2, 0, comp_v), 1, jnp.zeros_like(comp_v))
         is_ref = dets.det_eq(a3.keys, ref_key[None, :])
-        a3 = ar.compact(a3, (comp_v != 0) | is_ref)
+        a3 = ar.compact(a3, (comp_v != 0) | is_ref | prot)
 
         metrics = {
             "proj_num": proj_num,
@@ -195,9 +212,10 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
 
     @partial(jax.jit, static_argnames=("n_iter",))
     def run_steps(state, num_keys, num_vals, den_keys, den_vals, ref_key,
-                  n_iter: int):
+                  n_iter: int, protected_keys=None):
         def body(s, _):
-            return step(s, num_keys, num_vals, den_keys, den_vals, ref_key)
+            return step(s, num_keys, num_vals, den_keys, den_vals, ref_key,
+                        protected_keys)
 
         return lax.scan(body, state, None, length=n_iter)
 

@@ -178,3 +178,60 @@ def test_frisys_end_to_end_energy():
     bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = bm.std() / np.sqrt(len(bm))
     assert abs(e_est - e0) < max(5 * sigma, 0.03), (e_est, e0, sigma)
+
+
+def test_semistochastic_full_space_is_exact():
+    """With the deterministic subspace covering the whole Hilbert space the
+    semistochastic driver is an exact power method."""
+    ham, h, eris = build_ham(5, 4, seed=11)
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, 5, 2, 2)
+    e0, _ = dense_fci.ground_state(dense_h)
+    all_keys = np.stack([dense_fci.mask_to_words(m, 2 * ham.n_orb) for m in basis])
+    determ = frisys.build_determ_block(ham, jnp.asarray(all_keys))
+    cfg = frisys.FrisysConfig(
+        eps=0.05, vec_nonz=128, matr_samp=determ["n_elements"] + 64,
+        capacity=128, spawn_cap=256,
+    )
+    step, run_steps, state, aux = frisys.build(
+        ham, cfg, seed=0, determ_keys=jnp.asarray(all_keys)
+    )
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 400, aux["protected_keys"],
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    e_est = np.asarray(traj["proj_num"])[-1] / np.asarray(traj["proj_den"])[-1]
+    np.testing.assert_allclose(float(aux["e_ref"]) + e_est, e0, atol=2e-4)
+
+
+def test_semistochastic_partial_space_energy():
+    """HF + singles/doubles-of-HF deterministic core, stochastic remainder."""
+    ham, h, eris = build_ham(5, 4, seed=11)
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, 5, 2, 2)
+    e0, _ = dense_fci.ground_state(dense_h)
+    # choose the 20 lowest-diagonal determinants as the deterministic core
+    order = np.argsort(np.diag(dense_h))[:20]
+    dkeys = np.stack(
+        [dense_fci.mask_to_words(basis[i], 2 * ham.n_orb) for i in order]
+    )
+    determ = frisys.build_determ_block(ham, jnp.asarray(dkeys))
+    cfg = frisys.FrisysConfig(
+        eps=0.05, vec_nonz=50, matr_samp=determ["n_elements"] + 120,
+        capacity=128, spawn_cap=3000, target_norm=300.0,
+    )
+    step, run_steps, state, aux = frisys.build(
+        ham, cfg, seed=7, determ_keys=jnp.asarray(dkeys)
+    )
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 1500, aux["protected_keys"],
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    num = np.asarray(traj["proj_num"])[500:]
+    den = np.asarray(traj["proj_den"])[500:]
+    e_est = float(aux["e_ref"]) + num.sum() / den.sum()
+    blocks = np.array_split(num, 10)
+    dblocks = np.array_split(den, 10)
+    bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
+    sigma = bm.std() / np.sqrt(len(bm))
+    assert abs(e_est - e0) < max(5 * sigma, 0.02), (e_est, e0, sigma)
