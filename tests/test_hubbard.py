@@ -109,3 +109,73 @@ def test_frifull_hh_6site_hubbard_reference_energy():
     est = np.asarray(traj["proj_num"])[-1] / np.asarray(traj["proj_den"])[-1]
     e_tot = e_ref + est
     np.testing.assert_allclose(e_tot, EXACT_6SITE_U2_GS, atol=1e-3)
+
+
+def test_frisys_hh_spawner_exact_when_budget_large():
+    """Two-level factorized spawner reconstructs -eps*H_offdiag*v exactly when
+    budgets exceed the branch counts."""
+    import jax
+    from fries_tpu.drivers import frisys_hh as fhh
+    from fries_tpu.runtime import arena as ar
+    from fries_tpu import dets as d
+
+    ham = small_hh()
+    cfg = fhh.FrisysHHConfig(
+        eps=0.01, vec_nonz=64, matr_samp=4096, capacity=8, spawn_cap=512
+    )
+    spawn = fhh.make_spawner(ham, cfg, e_ref=0.0)
+
+    neel = d.pack_bits(d.neel_bits_1d(ham.n_sites, ham.n_elec, ham.n_bits), ham.n_words)
+    v1 = hub.with_phonon(ham, neel[None], jnp.asarray([1]), jnp.asarray([2]))[0]
+    keys = jnp.stack([neel, v1])
+    occ = hub.occ_list(ham, keys)
+    vals = jnp.asarray([1.0, -0.4])
+
+    a = ar.make(cfg.capacity, ham.n_words, 1, ham.n_elec)
+    a = ar.from_unsorted(a, keys, vals[None, :], occ, jnp.zeros(2))
+    avals = jnp.where(a.valid, a.vals[0], 0.0)
+    w, amp, _, _, _ = jax.jit(spawn)(a.keys, a.occ, avals, -cfg.eps, jax.random.key(0))
+
+    def dense_map(words, amps):
+        out = {}
+        words = np.asarray(words); amps = np.asarray(amps)
+        for i in range(len(amps)):
+            if amps[i] == 0:
+                continue
+            out[tuple(words[i])] = out.get(tuple(words[i]), 0.0) + amps[i]
+        return out
+
+    got = dense_map(w, amp)
+    ew, ea = hub.offdiag_batch(ham, a.keys, avals, -cfg.eps)
+    want = dense_map(ew.reshape(-1, ham.n_words), ea.reshape(-1))
+    for k in set(got) | set(want):
+        np.testing.assert_allclose(
+            got.get(k, 0.0), want.get(k, 0.0), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_frisys_hh_end_to_end(dense_small):
+    """Stochastic two-level FRI on the small Hubbard-Holstein system."""
+    from fries_tpu.drivers import frisys_hh as fhh
+    from scipy.linalg import eigh
+
+    ham, dense_h, basis = dense_small
+    e0 = eigh(dense_h, eigvals_only=True)[0]
+    cfg = fhh.FrisysHHConfig(
+        eps=0.02, vec_nonz=60, matr_samp=120, capacity=1024, spawn_cap=512,
+        target_norm=400.0,
+    )
+    step, run_steps, state, aux = fhh.build(ham, e_ref=float(e0), cfg=cfg, seed=3)
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 2500,
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    num = np.asarray(traj["proj_num"])[800:]
+    den = np.asarray(traj["proj_den"])[800:]
+    e_est = float(e0) + num.sum() / den.sum()
+    blocks = np.array_split(num, 10)
+    dblocks = np.array_split(den, 10)
+    bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
+    sigma = bm.std() / np.sqrt(len(bm))
+    assert abs(e_est - e0) < max(5 * sigma, 0.03), (e_est, e0, sigma)
