@@ -235,3 +235,30 @@ def test_semistochastic_partial_space_energy():
     bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = bm.std() / np.sqrt(len(bm))
     assert abs(e_est - e0) < max(5 * sigma, 0.02), (e_est, e0, sigma)
+
+
+@pytest.mark.parametrize("dist", ["NU", "HB"])
+def test_frimulti_end_to_end_energy(dist):
+    from fries_tpu.drivers import frimulti
+
+    ham, h, eris = build_ham(5, 4, seed=11)
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, 5, 2, 2)
+    e0, _ = dense_fci.ground_state(dense_h)
+    cfg = frimulti.FrimultiConfig(
+        eps=0.05, vec_nonz=50, matr_samp=200, capacity=128, spawn_cap=512,
+        target_norm=300.0, distribution=dist,
+    )
+    step, run_steps, state, aux = frimulti.build(ham, cfg, seed=6)
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 2000,
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    num = np.asarray(traj["proj_num"])[600:]
+    den = np.asarray(traj["proj_den"])[600:]
+    e_est = float(aux["e_ref"]) + num.sum() / den.sum()
+    blocks = np.array_split(num, 10)
+    dblocks = np.array_split(den, 10)
+    bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
+    sigma = bm.std() / np.sqrt(len(bm))
+    assert abs(e_est - e0) < max(5 * sigma, 0.03), (dist, e_est, e0, sigma)
