@@ -1,0 +1,65 @@
+"""Dense linear algebra for subspace iteration.
+
+Re-implements the reference LAPACK wrapper layer (LAPACK/lapack_wrappers.
+{hpp,cpp}) on jnp/scipy; the matrices involved are n_trial x n_trial
+(n_trial <= ~10), so host round trips are free and device QR is trivial.
+
+  get_svals             <- dgesvd      (lapack_wrappers.cpp:12-38)
+  gen_eig               <- dggev       (:40-69, generalized h x = lambda d x)
+  inv                   <- dgetrf/i    (:71-88)
+  inv_triangular_upper  <- invu_inplace (:90-...)
+  inv_r_factor          <- invr_inplace (QR then R^-1, used for subspace
+                           orthonormalization restarts, subsp_mol.cpp:480-510)
+  qr                    <- dgeqrf+dorgqr (gen_qr, :181-209)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def get_svals(mat):
+    return jnp.linalg.svd(mat, compute_uv=False)
+
+
+def gen_eig(h_mat, d_mat):
+    """Real generalized eigenproblem h x = lambda d x (host-side scipy;
+    non-symmetric like the reference's dggev).  Returns (evals, evecs)
+    sorted by real part."""
+    from scipy.linalg import eig
+
+    evals, evecs = eig(np.asarray(h_mat), np.asarray(d_mat))
+    order = np.argsort(evals.real)
+    return evals[order], evecs[:, order]
+
+
+def inv(mat):
+    return jnp.linalg.inv(mat)
+
+
+def inv_triangular_upper(mat):
+    return jsl.solve_triangular(mat, jnp.eye(mat.shape[0], dtype=mat.dtype))
+
+
+def inv_r_factor(mat):
+    """R^-1 from the QR factorization of ``mat`` (reference invr_inplace):
+    multiplying a vector block by R^-1 orthonormalizes it in the QR sense."""
+    _, r = jnp.linalg.qr(mat)
+    return inv_triangular_upper(r)
+
+
+def qr(mat):
+    return jnp.linalg.qr(mat)
+
+
+def subspace_energies(h_traj, d_traj, burn_in: int = 0):
+    """Post-process subspace-iteration h/d matrix trajectories into state
+    energies: averages the matrices over iterations (after burn_in) and
+    solves the generalized eigenproblem (the reference's offline analysis of
+    the npy/txt h_mat/d_mat outputs, docs/running.dox)."""
+    h_avg = np.mean(np.asarray(h_traj)[burn_in:], axis=0)
+    d_avg = np.mean(np.asarray(d_traj)[burn_in:], axis=0)
+    evals, _ = gen_eig(h_avg, d_avg)
+    return np.sort(evals.real)

@@ -329,3 +329,110 @@ def grow(arena: Arena, new_capacity: int) -> Arena:
         diag=jnp.concatenate([arena.diag, jnp.zeros((extra,), jnp.float64)]),
         n_used=arena.n_used,
     )
+
+
+@partial(jax.jit, static_argnames=())
+def accumulate_multi(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_rows: jax.Array,
+    spawn_occ: jax.Array,
+    spawn_diag: jax.Array,
+    spawn_ini: jax.Array,
+):
+    """Merge spawns targeting *per-spawn* value rows (for the multi-vector
+    subspace drivers, reference subsp_mol.cpp:546-600).
+
+    Like :func:`accumulate`, but each spawn carries the row it contributes to
+    (``spawn_rows``), and the initiator rule checks occupancy against that
+    same row (origin == dest per vector in the reference loop).
+    """
+    c, w = arena.keys.shape
+    s = spawn_keys.shape[0]
+    r = arena.n_vecs
+    total = c + s
+
+    spawn_invalid = dets.is_invalid(spawn_keys)
+    arena_valid = arena.valid
+
+    all_keys = jnp.concatenate([arena.keys, spawn_keys])
+    perm = _sort_perm(all_keys)
+    sorted_keys = all_keys[perm]
+    is_arena = perm < c
+    src_idx = jnp.where(is_arena, perm, 0)
+    sp_idx = jnp.where(is_arena, 0, perm - c)
+
+    valid = jnp.where(is_arena, arena_valid[src_idx], ~spawn_invalid[sp_idx])
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ~dets.det_eq(sorted_keys[1:], sorted_keys[:-1])]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+
+    # per-row occupancy of each segment (for the per-row initiator rule)
+    row_of = spawn_rows[sp_idx]
+    seg_vals_rows = []
+    spawn_allowed_any = jnp.zeros((total,), jnp.bool_)
+    nonini_occ_add = jnp.int32(0)
+    for row in range(r):
+        occ_nonzero = is_arena & valid & (arena.vals[row][src_idx] != 0)
+        seg_occ_r = jnp.zeros((total,), jnp.bool_).at[seg_id].max(occ_nonzero)
+        elem_occ_r = seg_occ_r[seg_id]
+        allowed_r = (
+            (~is_arena) & valid & (row_of == row)
+            & (spawn_ini[sp_idx] | elem_occ_r)
+        )
+        nonini_occ_add += jnp.sum(
+            (~is_arena) & valid & (row_of == row) & ~spawn_ini[sp_idx] & elem_occ_r,
+            dtype=jnp.int32,
+        )
+        spawn_allowed_any |= allowed_r
+        base = jnp.where(is_arena & valid, arena.vals[row][src_idx], 0)
+        base = base + jnp.where(allowed_r, spawn_vals[sp_idx], 0)
+        seg_vals_rows.append(jnp.zeros((total,), base.dtype).at[seg_id].add(base))
+    seg_vals = jnp.stack(seg_vals_rows)
+
+    seg_keys = jnp.where(first[:, None], sorted_keys, jnp.zeros_like(sorted_keys))
+    seg_keys = jnp.zeros((total, w), jnp.uint32).at[seg_id].max(seg_keys)
+    rep_occ = jnp.where(is_arena[:, None], arena.occ[src_idx], spawn_occ[sp_idx])
+    seg_occ = (
+        jnp.zeros((total, arena.occ.shape[1]), jnp.int32)
+        .at[seg_id]
+        .max(jnp.where(first[:, None], rep_occ, 0))
+    )
+    rep_diag = jnp.where(is_arena, arena.diag[src_idx], spawn_diag[sp_idx])
+    seg_diag = (
+        jnp.zeros((total,), jnp.float64)
+        .at[seg_id]
+        .add(jnp.where(first, rep_diag, 0.0))
+    )
+
+    seg_live = (
+        jnp.zeros((total,), jnp.bool_)
+        .at[seg_id]
+        .max(valid & (is_arena | spawn_allowed_any))
+    )
+    seg_live = seg_live & ~dets.is_invalid(seg_keys)
+
+    n_live = jnp.sum(seg_live, dtype=jnp.int32)
+    overflow = n_live > c
+    dest_pos = jnp.where(seg_live, jnp.cumsum(seg_live.astype(jnp.int32)) - 1, total)
+
+    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
+    out_keys = out_keys.at[dest_pos].set(seg_keys, mode="drop")
+    out_vals = jnp.zeros((r, c), arena.vals.dtype)
+    out_vals = out_vals.at[:, dest_pos].set(seg_vals, mode="drop")
+    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
+    out_occ = out_occ.at[dest_pos].set(seg_occ, mode="drop")
+    out_diag = jnp.zeros((c,), jnp.float64)
+    out_diag = out_diag.at[dest_pos].set(seg_diag, mode="drop")
+
+    new_arena = Arena(
+        keys=out_keys,
+        vals=out_vals,
+        occ=out_occ,
+        diag=out_diag,
+        n_used=jnp.minimum(n_live, c)[None],
+    )
+    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}

@@ -1,0 +1,80 @@
+"""Multi-state subspace iteration tests vs dense diagonalization."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dense_fci
+from fries_tpu import dets, linalg
+from fries_tpu.drivers import subspace
+from fries_tpu.ops import molecule as mol
+
+
+@pytest.fixture(scope="module")
+def system():
+    rng = np.random.default_rng(21)
+    n_orb, n_elec = 5, 4
+    h, eris = dense_fci.random_integrals(rng, n_orb)
+    ham = mol.MolecularHamiltonian(
+        hcore=jnp.asarray(h), eris=jnp.asarray(eris),
+        symm=jnp.zeros(n_orb, jnp.int32), n_orb=n_orb, n_elec=n_elec,
+    )
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, n_orb, 2, 2)
+    from scipy.linalg import eigh
+
+    evals, evecs = eigh(dense_h)
+    return ham, dense_h, basis, evals, evecs
+
+
+def make_trials(ham, basis, evecs, n_states, n_keep):
+    """Truncated exact eigenvectors as trial states (reference loads Dice/SHCI
+    vectors, subsp_mol.cpp:197-235)."""
+    t_keys = []
+    t_vals = []
+    for j in range(n_states):
+        vec = evecs[:, j]
+        top = np.argsort(-np.abs(vec))[:n_keep]
+        keys = np.stack(
+            [dense_fci.mask_to_words(basis[i], ham.n_bits) for i in top]
+        )
+        t_keys.append(keys)
+        t_vals.append(vec[top])
+    return jnp.asarray(np.stack(t_keys)), jnp.asarray(np.stack(t_vals))
+
+
+def test_subspace_two_states(system):
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 12)
+    cfg = subspace.SubspaceConfig(
+        eps=0.05, n_trial=2, vec_nonz=60, matr_samp=250, capacity=160,
+        spawn_cap=1024, restart_int=10,
+    )
+    step, run_steps, state, aux = subspace.build(ham, cfg, t_keys, t_vals, seed=3)
+    state, traj = run_steps(state, 1200)
+    assert not bool(np.asarray(traj["overflow"]).any())
+    energies = linalg.subspace_energies(
+        traj["h_mat"], traj["d_mat"], burn_in=400
+    ) + float(aux["e_ref"])
+    # ground and first excited state
+    assert abs(energies[0] - evals[0]) < 0.05, (energies, evals[:2])
+    assert abs(energies[1] - evals[1]) < 0.08, (energies, evals[:2])
+
+
+def test_subspace_deterministic_budgets(system):
+    """With budgets exceeding the Hilbert-space and path counts the subspace
+    iteration is deterministic and the projected energies are exact."""
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 8)
+    cfg = subspace.SubspaceConfig(
+        eps=0.05, n_trial=2, vec_nonz=512, matr_samp=60000, capacity=128,
+        spawn_cap=16384, restart_int=10,
+    )
+    step, run_steps, state, aux = subspace.build(ham, cfg, t_keys, t_vals, seed=0)
+    state, traj = run_steps(state, 250)
+    assert not bool(np.asarray(traj["overflow"]).any())
+    h_last = np.asarray(traj["h_mat"])[-1]
+    d_last = np.asarray(traj["d_mat"])[-1]
+    evals_sub, _ = linalg.gen_eig(h_last, d_last)
+    got = np.sort(evals_sub.real) + float(aux["e_ref"])
+    np.testing.assert_allclose(got[0], evals[0], atol=2e-3)
+    np.testing.assert_allclose(got[1], evals[1], atol=2e-2)
