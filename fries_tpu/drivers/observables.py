@@ -1,0 +1,205 @@
+"""Observable estimators for operators not commuting with H.
+
+observables_mol.cpp: Rayleigh-quotient estimator with importance-sampled
+compression - the iterate evolves by exact (1 - eps(H - e_ref)) multiplication
+with systematic vector compression; on an alternating schedule
+(burn-in | observable | free periods, observables_mol.cpp:230-244) the vector
+is snapshotted (row 2) and O|v> computed (row 3, one_elec_op molecule.cpp:
+222-252); during observable periods the compression is importance-weighted by
+(1 + |O v|)^exponent around the compression (weight_vec, vec_utils.hpp:
+569-573) and the estimator accumulates <v_t | O v_s> / <v_t | v_s> from
+internal dots (observables_mol.cpp:281-290).
+
+obs_repl_mol.cpp: replica-trick estimator - two independently-evolving
+iterates v1, v2; observable = <v1 | O | v2> / <v1 | v2> each iteration
+(obs_repl_mol.cpp:178, 238-240), removing the Rayleigh bias.
+
+The observable is the spin-summed single excitation O = sum_s a^+_cre,s
+a_des,s.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fries_tpu import compress, dets
+from fries_tpu.ops import molecule as mol
+from fries_tpu.runtime import arena as ar
+
+
+@dataclass(frozen=True)
+class ObservablesConfig:
+    eps: float
+    target_nonz: int
+    capacity: int
+    obs_des: int            # spatial orbital annihilated
+    obs_cre: int            # spatial orbital created
+    exponent: float = 0.5   # importance-sampling exponent
+    burn_in: int = 100
+    n_obs: int = 20         # observable-period length
+    btw_obs: int = 20       # free-evolution period length
+    replica: bool = False   # replica-trick estimator instead of Rayleigh
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ObsState:
+    arena: ar.Arena
+    key: jax.Array
+    iterat: jax.Array
+
+
+def one_elec_spawns(ham: mol.MolecularHamiltonian, keys, vals):
+    """O|v> spawns for O = sum_s a^+_cre a_des (one_elec_op,
+    molecule.cpp:222-252): per determinant, one candidate per spin."""
+    # filled by closure in build(); placeholder for doc parity
+    raise NotImplementedError
+
+
+def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
+          init_val: float = 100.0):
+    hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    n_orb, n_elec = ham.n_orb, ham.n_elec
+    tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
+    n_rows = 4
+
+    def apply_one_elec(a: ar.Arena, src_row: int, dest_row: int):
+        """dest_row <- O * src_row via arena accumulate."""
+        vals = jnp.where(a.valid, a.vals[src_row], 0.0)
+        spawns_w, spawns_v = [], []
+        for spin in range(2):
+            des = cfg.obs_des + spin * n_orb
+            cre = cfg.obs_cre + spin * n_orb
+            ok = dets.read_bit(a.keys, des) & ~dets.read_bit(a.keys, cre)
+            nw, sign = dets.single_parity(a.keys, des, cre)
+            amp = jnp.where(ok & (vals != 0), sign * vals, 0.0)
+            spawns_w.append(jnp.where(
+                (amp != 0)[:, None], nw, jnp.asarray(dets.invalid_det(ham.n_words))
+            ))
+            spawns_v.append(amp)
+        sw = jnp.concatenate(spawns_w)
+        sv = jnp.concatenate(spawns_v)
+        so = dets.occ_list(sw, ham.n_bits, n_elec)
+        sd = mol.diag_matrel_chunked(ham, so) - hf_en
+        a = ar.set_row(a, dest_row, jnp.zeros((a.capacity,)))
+        a2, stats = ar.accumulate(
+            a, sw, sv, so, sd, jnp.ones(sv.shape, jnp.bool_),
+            origin_row=src_row, dest_row=dest_row,
+        )
+        return a2, stats["overflow"]
+
+    def h_multiply(a: ar.Arena, src_row: int, dest_row: int, key):
+        """dest <- (1 - eps (H - e_ref)) src, exact."""
+        vals = jnp.where(a.valid, a.vals[src_row], 0.0)
+        w, amp, nocc = mol.exact_offdiag_batch(
+            ham, tmpl, a.keys, a.occ, vals, -cfg.eps
+        )
+        fw = w.reshape(-1, ham.n_words)
+        fa = amp.reshape(-1)
+        fo = nocc.reshape(-1, n_elec)
+        fd = mol.diag_matrel_chunked(ham, fo) - hf_en
+        diag_part = vals * (1 - cfg.eps * a.diag)
+        a1 = ar.set_row(a, dest_row, diag_part)
+        a2, stats = ar.accumulate(
+            a1, fw, fa, fo, fd, jnp.ones(fa.shape, jnp.bool_),
+            origin_row=src_row, dest_row=dest_row,
+        )
+        return a2, stats["overflow"]
+
+    def internal_dot(a, r1, r2):
+        return jnp.sum(
+            jnp.where(a.valid, a.vals[r1] * a.vals[r2], 0.0)
+        )
+
+    @jax.jit
+    def step(state: ObsState):
+        a = state.arena
+        it = state.iterat
+        key_iter = jax.random.fold_in(state.key, it)
+        period = cfg.n_obs + cfg.btw_obs
+        phase = jnp.maximum(it - cfg.burn_in, 0) % period
+        in_obs = (it >= cfg.burn_in) & (phase < cfg.n_obs)
+        at_obs_start = (it >= cfg.burn_in) & (phase == 0)
+
+        if cfg.replica:
+            # replica mode: rows 0 and 1 evolve independently; row 3 = O v2
+            a, ovf0 = apply_one_elec(a, 1, 3)
+            obs_num = internal_dot(a, 0, 3)
+            obs_den = internal_dot(a, 0, 1)
+            overflow = ovf0
+        else:
+            # Rayleigh mode: snapshot + O v at period start
+            def snapshot(a):
+                a1 = ar.set_row(a, 2, a.vals[0])
+                a2, _ = apply_one_elec(a1, 0, 3)
+                return a2
+
+            # period-start updates (traced-conditional via cond)
+            a = lax.cond(at_obs_start, snapshot, lambda x: x, a)
+            obs_num = internal_dot(a, 0, 3)
+            obs_den = internal_dot(a, 0, 2)
+            overflow = jnp.bool_(False)
+
+        # --- compression with importance weighting ---
+        def compress_row(a, row, key, weighted):
+            v = jnp.where(a.valid, a.vals[row], 0.0)
+            wfac = (1.0 + jnp.abs(a.vals[3])) ** cfg.exponent
+            v_w = jnp.where(weighted, v * wfac, v)
+            keep, n_left, loc_norm = compress.find_preserve(
+                jnp.abs(v_w), cfg.target_nonz
+            )
+            rn = jax.random.uniform(key, dtype=jnp.float64)
+            cv = compress.sys_comp(v_w, keep, n_left, rn, loc_norm)
+            cv = jnp.where(weighted, cv / wfac, cv)
+            return ar.set_row(a, row, cv)
+
+        a = compress_row(a, 0, jax.random.fold_in(key_iter, 1), in_obs)
+        if cfg.replica:
+            a = compress_row(a, 1, jax.random.fold_in(key_iter, 2), in_obs)
+
+        # --- exact H multiplication + normalization ---
+        a, ovf1 = h_multiply(a, 0, 0, key_iter)
+        overflow |= ovf1
+        if cfg.replica:
+            a, ovf2 = h_multiply(a, 1, 1, key_iter)
+            overflow |= ovf2
+        norm = jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[0], 0.0)))
+        a = ar.set_row(a, 0, a.vals[0] / jnp.maximum(norm, 1e-300))
+        if cfg.replica:
+            norm2 = jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[1], 0.0)))
+            a = ar.set_row(a, 1, a.vals[1] / jnp.maximum(norm2, 1e-300))
+
+        any_nonzero = jnp.any(a.vals != 0, axis=0)
+        a = ar.compact(a, any_nonzero)
+
+        metrics = {
+            "obs_num": obs_num,
+            "obs_den": obs_den,
+            "in_obs": in_obs,
+            "norm": norm,
+            "n_dets": a.n_used,
+            "overflow": overflow,
+        }
+        return ObsState(a, state.key, it + 1), metrics
+
+    @partial(jax.jit, static_argnames=("n_iter",))
+    def run_steps(state, n_iter: int):
+        return lax.scan(lambda s, _: step(s), state, None, length=n_iter)
+
+    a = ar.make(cfg.capacity, ham.n_words, n_rows, n_elec)
+    init_vals = np.zeros((n_rows, 1))
+    init_vals[0, 0] = init_val
+    if cfg.replica:
+        init_vals[1, 0] = init_val
+    a = ar.from_unsorted(
+        a, hf_words[None], jnp.asarray(init_vals), hf_occ[None], jnp.zeros((1,))
+    )
+    state = ObsState(a, jax.random.key(seed), jnp.int32(0))
+    aux = {"e_ref": hf_en}
+    return step, run_steps, state, aux
