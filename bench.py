@@ -17,6 +17,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# persistent compile cache: TPU-tunnel compiles of the full step take minutes
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import numpy as np  # noqa: E402
 
@@ -49,8 +54,11 @@ def main():
         aux["ref_key"],
     )
 
-    # warmup (compile + let the population grow)
-    state, m = run_steps(state, *args, n_warm)
+    # warmup: same static scan length as the timed region (a different
+    # n_iter would trigger a full recompile inside the timing), repeated
+    # n_warm times to grow the population to steady state
+    for _ in range(n_warm):
+        state, m = run_steps(state, *args, n_time)
     jax.block_until_ready(m)
 
     t0 = time.perf_counter()
@@ -81,7 +89,7 @@ def main():
                 "unit": "nonzeros/s",
                 "vs_baseline": round(vs_baseline, 3),
                 "iters_per_sec": round(iters_per_sec, 4),
-                "n_dets_final": int(np.asarray(m["n_dets"])[-1]),
+                "n_dets_final": int(np.asarray(m["n_dets"]).reshape(-1)[-1]),
             }
         )
     )

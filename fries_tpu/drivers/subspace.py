@@ -49,6 +49,7 @@ class SubspaceConfig:
     shift_interval: int = 10
     shift_damping: float = 0.05
     unnorm: bool = True
+    exact_h: bool = False   # exact H application (subspfull_mol.cpp)
 
 
 @jax.tree_util.register_dataclass
@@ -77,7 +78,22 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         eps=cfg.eps, vec_nonz=cfg.vec_nonz, matr_samp=cfg.matr_samp,
         capacity=cfg.capacity, spawn_cap=cfg.spawn_cap, unnorm=cfg.unnorm,
     )
-    spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, fcfg, hf_en)
+    if cfg.exact_h:
+        # subspfull_mol: exact (uncompressed) H application per vector
+        tmpl_x = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+
+        def spawn(keys, occ, vals, h_fac, key):
+            w, amp, nocc = mol.exact_offdiag_batch(
+                ham, tmpl_x, keys, occ, vals, h_fac
+            )
+            fw = w.reshape(-1, ham.n_words)
+            fa = amp.reshape(-1)
+            fo = nocc.reshape(-1, ham.n_elec)
+            fd = mol.diag_matrel_chunked(ham, fo) - hf_en
+            fi = jnp.ones(fa.shape, jnp.bool_)
+            return fw, fa, fo, fd, fi
+    else:
+        spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, fcfg, hf_en)
 
     # H * trial (exact) for the h_mat projections (subsp_mol.cpp:258-270)
     tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)

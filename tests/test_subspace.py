@@ -78,3 +78,22 @@ def test_subspace_deterministic_budgets(system):
     got = np.sort(evals_sub.real) + float(aux["e_ref"])
     np.testing.assert_allclose(got[0], evals[0], atol=2e-3)
     np.testing.assert_allclose(got[1], evals[1], atol=2e-2)
+
+
+def test_subspfull_exact_h(system):
+    """subspfull_mol analogue: exact H application, deterministic budgets."""
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 8)
+    cfg = subspace.SubspaceConfig(
+        eps=0.05, n_trial=2, vec_nonz=512, matr_samp=1024, capacity=128,
+        spawn_cap=1024, restart_int=10, exact_h=True,
+    )
+    step, run_steps, state, aux = subspace.build(ham, cfg, t_keys, t_vals, seed=0)
+    state, traj = run_steps(state, 250)
+    assert not bool(np.asarray(traj["overflow"]).any())
+    h_last = np.asarray(traj["h_mat"])[-1]
+    d_last = np.asarray(traj["d_mat"])[-1]
+    evals_sub, _ = linalg.gen_eig(h_last, d_last)
+    got = np.sort(evals_sub.real) + float(aux["e_ref"])
+    np.testing.assert_allclose(got[0], evals[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], evals[1], atol=1e-3)
