@@ -19,12 +19,18 @@ FrifullConfig = power.PowerConfig
 
 
 def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
-          init_val: float = 100.0):
+          init_val: float = 100.0, spin_parity: int = 0):
     """Returns (step, run_steps, state, aux) ready to iterate.
 
     aux carries the HF trial vector, reference key, and e_ref (the HF
     diagonal used as the energy origin, frisys_mol.cpp:111-113).
+
+    spin_parity in {0, +1, -1}: 0 = no time-reversal folding; otherwise the
+    vector lives on spin-flip canonical representatives of the chosen sector
+    (h_op_offdiag spin_parity, molecule.cpp:263-266; ops.time_reversal).
     """
+    from fries_tpu.ops import time_reversal as tr_mod
+
     tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
 
@@ -32,12 +38,30 @@ def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
         new_words, amps, new_occ = mol.exact_offdiag_batch(
             ham, tmpl, keys, occ, vals, h_fac
         )
+        nc = amps.shape[1]
         flat_words = new_words.reshape(-1, ham.n_words)
         flat_amps = amps.reshape(-1)
-        flat_occ = new_occ.reshape(-1, ham.n_elec)
-        flat_diag = mol.diag_matrel(ham, flat_occ) - hf_en
-        flat_ini = power.per_parent_ini(vals, cfg.init_thresh, amps.shape[1])
+        if spin_parity:
+            parents = jnp.repeat(keys, nc, axis=0)
+            pocc = jnp.repeat(occ, nc, axis=0)
+            scale = jnp.repeat(vals, nc) * h_fac
+            flat_words, flat_amps = tr_mod.adjust_exact(
+                ham, parents, pocc, flat_words, flat_amps, spin_parity,
+                scale=scale,
+            )
+        flat_occ = dets_occ(flat_words)
+        flat_diag = mol.diag_matrel_chunked(ham, flat_occ) - hf_en
+        if spin_parity:
+            delta, forbid = tr_mod.tr_diag(ham, flat_words, flat_occ, spin_parity)
+            flat_diag = flat_diag + delta
+            flat_amps = jnp.where(forbid, 0.0, flat_amps)
+        flat_ini = power.per_parent_ini(vals, cfg.init_thresh, nc)
         return flat_words, flat_amps, flat_occ, flat_diag, flat_ini
+
+    def dets_occ(words):
+        from fries_tpu import dets as d
+
+        return d.occ_list(words, ham.n_bits, ham.n_elec)
 
     spawn_fn = power.chunked(
         spawn_one, cfg.capacity, cfg.batch, ham.n_words, ham.n_elec
@@ -45,12 +69,22 @@ def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
     step, run_steps = power.make_stepper(spawn_fn, cfg)
 
     a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
+    hf_diag0 = jnp.zeros((1,))
+    if spin_parity:
+        from fries_tpu.ops import time_reversal as _tr
+
+        delta, forbid = _tr.tr_diag(ham, hf_words[None], hf_occ[None], spin_parity)
+        assert not bool(forbid[0]) or spin_parity == 1, (
+            "HF determinant is spin-flip self-conjugate; start the odd sector "
+            "from an open-shell determinant"
+        )
+        hf_diag0 = hf_diag0 + delta
     a = ar.from_unsorted(
         a,
         hf_words[None],
         jnp.asarray([[init_val], [0.0]]),
         hf_occ[None],
-        jnp.zeros((1,)),
+        hf_diag0,
     )
     state = power.fresh_state(a, seed)
     aux = {
