@@ -442,12 +442,46 @@ def build_determ_block(ham: mol.MolecularHamiltonian, determ_keys):
     }
 
 
+def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals):
+    """(keys, vals) of (H - hf_en)|trial> by exact application + diagonal
+    (frisys_mol.cpp:205-214)."""
+    trial_keys = np.asarray(trial_keys)
+    trial_vals = np.asarray(trial_vals)
+    live = trial_vals != 0
+    tk = trial_keys[live]
+    tv = trial_vals[live]
+    occ = dets.occ_list(jnp.asarray(tk), ham.n_bits, ham.n_elec)
+    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
+    _, _, hf_en = mol.hf_reference(ham)
+    w, amp, _ = mol.exact_offdiag_batch(
+        ham, tmpl, jnp.asarray(tk), occ, jnp.asarray(tv), 1.0
+    )
+    w = np.asarray(w.reshape(-1, ham.n_words))
+    amp = np.asarray(amp.reshape(-1))
+    diag = np.asarray(mol.diag_matrel(ham, occ)) - float(hf_en)
+    keys_all = np.concatenate([tk, w[amp != 0]])
+    vals_all = np.concatenate([tv * diag, amp[amp != 0]])
+    merged = {}
+    for kk, vv in zip(map(tuple, keys_all), vals_all):
+        merged[kk] = merged.get(kk, 0.0) + vv
+    return (
+        np.asarray(list(merged.keys()), np.uint32),
+        np.asarray(list(merged.values())),
+    )
+
+
 def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
-          init_val: float = 100.0, determ_keys=None):
+          init_val: float = 100.0, determ_keys=None, trial=None, init_vec=None):
     """Assemble the flagship frisys workload: HB-PP spawner + power core +
-    HF trial / H-trial estimator vectors.  Returns (step, run_steps, state,
+    trial / H-trial estimator vectors.  Returns (step, run_steps, state,
     aux); aux["protected_keys"] carries the deterministic subspace for the
-    power core when ``determ_keys`` is given."""
+    power core when ``determ_keys`` is given.
+
+    trial: optional (keys (N, W), vals (N,)) estimator trial vector
+      (frisys_mol.cpp:159-214; default: the HF unit vector).
+    init_vec: optional (keys, vals) starting vector (--ini_vec,
+      frisys_mol.cpp:264-275; default: HF * init_val).
+    """
     syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
     tens = hb.setup(ham)
     p_doub = hf_p_doub(ham, syminfo)
@@ -457,29 +491,36 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
     spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en, determ=determ)
     step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
 
-    # trial = HF unit vector; htrial = (H - hf_en) |trial>
-    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
-    tw, ta, _ = mol.exact_offdiag_batch(
-        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
-    )
-    tw = np.asarray(tw[0])
-    ta = np.asarray(ta[0])
-    keep = ta != 0
-    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
-    htrial_vals = np.concatenate([[0.0], ta[keep]])  # diag (H-hf_en) on HF = 0
-    # deduplicate (a double and its mirror can coincide only as distinct rows)
+    if trial is None:
+        trial_keys = np.asarray(hf_words)[None]
+        trial_vals = np.ones((1,))
+    else:
+        trial_keys, trial_vals = np.asarray(trial[0]), np.asarray(trial[1])
+    htrial_keys, htrial_vals = compute_htrial(ham, trial_keys, trial_vals)
     aux = {
         "e_ref": hf_en,
         "num_keys": jnp.asarray(htrial_keys),
         "num_vals": jnp.asarray(htrial_vals),
-        "den_keys": hf_words[None],
-        "den_vals": jnp.ones((1,)),
+        "den_keys": jnp.asarray(trial_keys),
+        "den_vals": jnp.asarray(trial_vals),
         "ref_key": hf_words,
         "p_doub": p_doub,
         "protected_keys": determ["keys"] if determ is not None else None,
     }
 
     a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
+    if init_vec is not None:
+        ik = np.asarray(init_vec[0])
+        iv = np.asarray(init_vec[1])
+        iocc = dets.occ_list(jnp.asarray(ik), ham.n_bits, ham.n_elec)
+        idiag = mol.diag_matrel(ham, iocc) - hf_en
+        a = ar.from_unsorted(
+            a, jnp.asarray(ik),
+            jnp.stack([jnp.asarray(iv), jnp.zeros(len(iv))]),
+            iocc, idiag,
+        )
+        state = power.fresh_state(a, seed)
+        return step, run_steps, state, aux
     if determ is not None:
         # seed the vector with the deterministic-subspace members so the
         # dense block is live from the start (reference init_dense,

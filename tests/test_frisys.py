@@ -262,3 +262,36 @@ def test_frimulti_end_to_end_energy(dist):
     bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = bm.std() / np.sqrt(len(bm))
     assert abs(e_est - e0) < max(5 * sigma, 0.03), (dist, e_est, e0, sigma)
+
+
+def test_frisys_with_trial_vector_and_ini_vec():
+    """Trial-vector estimator (frisys_mol.cpp:159-214) reduces variance and
+    stays unbiased; initial vector loading reproduces the same fixed point."""
+    ham, h, eris = build_ham(5, 4, seed=11)
+    dense_h, basis = dense_fci.build_hamiltonian(h, eris, 5, 2, 2)
+    e0, psi0 = dense_fci.ground_state(dense_h)
+    # trial = truncated exact ground state (like a CISD trial)
+    top = np.argsort(-np.abs(psi0))[:10]
+    tkeys = np.stack([dense_fci.mask_to_words(basis[i], 2 * ham.n_orb) for i in top])
+    tvals = psi0[top]
+    cfg = frisys.FrisysConfig(
+        eps=0.05, vec_nonz=50, matr_samp=150, capacity=128,
+        spawn_cap=512, target_norm=300.0,
+    )
+    step, run_steps, state, aux = frisys.build(
+        ham, cfg, seed=9, trial=(tkeys, tvals),
+        init_vec=(tkeys, 100 * tvals),
+    )
+    state, traj = run_steps(
+        state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+        aux["den_vals"], aux["ref_key"], 1500,
+    )
+    assert not bool(np.asarray(traj["overflow"]).any())
+    num = np.asarray(traj["proj_num"])[400:]
+    den = np.asarray(traj["proj_den"])[400:]
+    e_est = float(aux["e_ref"]) + num.sum() / den.sum()
+    blocks = np.array_split(num, 10)
+    dblocks = np.array_split(den, 10)
+    bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
+    sigma = bm.std() / np.sqrt(len(bm))
+    assert abs(e_est - e0) < max(5 * sigma, 0.02), (e_est, e0, sigma)
