@@ -100,72 +100,120 @@ def doub_matr_el(ham: MolecularHamiltonian, o1, o2, u1, u2):
     return coul - jnp.where(same_sp, exch, 0.0)
 
 
+def _sing_tables(ham: MolecularHamiltonian):
+    """coul3[p,r,q] = <p q|r q>, exch3[p,r,q] = <p q|q r>: the only ERI
+    slices single-excitation elements need.  Extracting them per call is a
+    cheap diagonal gather that XLA hoists; random 4-index gathers into the
+    full ERI tensor are pathologically slow on TPU."""
+    coul3 = jnp.einsum("pqrq->prq", ham.eris)
+    exch3 = jnp.einsum("pqqr->prq", ham.eris)
+    return coul3, exch3
+
+
 @jax.jit
 def sing_matr_el(ham: MolecularHamiltonian, o, u, occ):
     """Sign-free single-excitation element (batched over leading dims).
 
-    Mirrors sing_matr_el_nosgn (molecule.cpp:45-105): core integral plus
-    Coulomb-minus-exchange sums over frozen and occupied orbitals.
+    Mirrors sing_matr_el_nosgn (molecule.cpp:45-105), reformulated TPU-first:
+    the Coulomb/exchange sums over occupied orbitals become dot products of
+    per-sample occupancy vectors with rows of the (T,T,T) coul3/exch3 slices
+    (one small row gather per sample instead of O(E) random 4-index gathers).
 
     Args:
       o, u: (...,) occupied / virtual spin orbitals (same spin).
       occ:  (..., E) occupied spin-orbital lists.
     """
+    t = ham.tot_orb
     half_frz = ham.n_frozen // 2
+    coul3, exch3 = _sing_tables(ham)
     so = _spatial(ham, o)
     su = _spatial(ham, u)
     spin_o = _spin(ham, o)
     mel = ham.hcore[so, su]
-    if half_frz:
-        j = jnp.arange(half_frz)
-        mel = mel + 2 * jnp.sum(ham.eris[so[..., None], j, su[..., None], j], axis=-1)
-        mel = mel - jnp.sum(ham.eris[so[..., None], j, j, su[..., None]], axis=-1)
+
+    # occupancy count vectors over total spatial orbitals; broadcast the
+    # occupied lists against the per-sample leading dims first
     occ_spa = _spatial(ham, occ)
     same_spin = _spin(ham, occ) == spin_o[..., None]
-    coul = ham.eris[so[..., None], occ_spa, su[..., None], occ_spa]
-    exch = ham.eris[so[..., None], occ_spa, occ_spa, su[..., None]]
-    mel = mel + jnp.sum(coul - jnp.where(same_spin, exch, 0.0), axis=-1)
+    shape = jnp.broadcast_shapes(occ_spa.shape, same_spin.shape)
+    occ_b = jnp.broadcast_to(occ_spa, shape)
+    n_all = _scatter_counts(occ_b, jnp.ones(shape, jnp.float64), t)
+    n_same = _scatter_counts(
+        occ_b, jnp.where(jnp.broadcast_to(same_spin, shape), 1.0, 0.0), t
+    )
+
+    coul_row = coul3[so, su]          # (..., T)
+    exch_row = exch3[so, su]
+    mel = mel + jnp.sum(coul_row * n_all, axis=-1)
+    mel = mel - jnp.sum(exch_row * n_same, axis=-1)
+    if half_frz:
+        frz = jnp.arange(half_frz)
+        mel = mel + 2 * jnp.sum(coul_row[..., :half_frz], axis=-1)
+        mel = mel - jnp.sum(exch_row[..., :half_frz], axis=-1)
     return mel
+
+
+def _scatter_counts(idx, weights, t):
+    """(..., E) indices + weights -> (..., T) occupancy counts (one-hot
+    accumulation; lowers to a small batched scatter-add)."""
+    flat_idx = idx.reshape(-1, idx.shape[-1])
+    flat_w = weights.reshape(-1, idx.shape[-1])
+    b = flat_idx.shape[0]
+    out = jnp.zeros((b, t), jnp.float64)
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], flat_idx.shape)
+    out = out.at[rows, flat_idx].add(flat_w)
+    return out.reshape(idx.shape[:-1] + (t,))
 
 
 @jax.jit
 def diag_matrel(ham: MolecularHamiltonian, occ):
     """Diagonal element <det|H|det> (batched over leading dims of ``occ``).
 
-    Mirrors diag_matrel (molecule.cpp:935-1029): frozen-core energy, one-body
-    terms, and pairwise Coulomb-minus-exchange over occupied spin orbitals.
+    Mirrors diag_matrel (molecule.cpp:935-1029) reformulated TPU-first: the
+    pairwise Coulomb/exchange sums become occupancy-vector quadratic forms
+
+        sum_{j<k} C[s_j, s_k]          = (n^T C n - sum_p n_p C_pp) / 2
+        sum_{same-spin j<k} X[s_j,s_k] = (a^T X a - a.X_diag)/2 + (b ...)
+
+    over the (T,T) slices C[p,q] = <pq|pq>, X[p,q] = <pq|qp> - batched
+    matmuls on the MXU instead of O(E^2) random 4-index ERI gathers.
     """
+    t = ham.tot_orb
     half_frz = ham.n_frozen // 2
-    e = occ.shape[-1]
-    spa = _spatial(ham, occ)  # (..., E)
+    coul2 = jnp.einsum("pqpq->pq", ham.eris)
+    exch2 = jnp.einsum("pqqp->pq", ham.eris)
+
+    spa = _spatial(ham, occ)
     spin = _spin(ham, occ)
+    a_vec = _scatter_counts(spa, jnp.where(spin == 0, 1.0, 0.0), t)
+    b_vec = _scatter_counts(spa, jnp.where(spin == 1, 1.0, 0.0), t)
+    n_vec = a_vec + b_vec
 
-    total = jnp.sum(ham.hcore[spa, spa], axis=-1)
+    h_diag = jnp.diagonal(ham.hcore)
+    c_diag = jnp.diagonal(coul2)
+    x_diag = jnp.diagonal(exch2)
 
-    # frozen-core contributions (constant + interaction with occupied)
+    total = n_vec @ h_diag
+    nc = n_vec @ coul2
+    total = total + 0.5 * (jnp.sum(nc * n_vec, axis=-1) - n_vec @ c_diag)
+    ax = a_vec @ exch2
+    bx = b_vec @ exch2
+    total = total - 0.5 * (
+        jnp.sum(ax * a_vec, axis=-1) - a_vec @ x_diag
+        + jnp.sum(bx * b_vec, axis=-1) - b_vec @ x_diag
+    )
+
     if half_frz:
         j = np.arange(half_frz)
-        core = 2 * jnp.sum(ham.hcore[j, j])
-        core = core + jnp.sum(ham.eris[j, j, j, j])
+        core = 2 * jnp.sum(ham.hcore[j, j]) + jnp.sum(jnp.diagonal(coul2)[j])
         jj, kk = jnp.meshgrid(j, j, indexing="ij")
         mask = kk > jj
         core = core + jnp.sum(
-            jnp.where(mask, 4 * ham.eris[jj, kk, jj, kk] - 2 * ham.eris[jj, kk, kk, jj], 0.0)
+            jnp.where(mask, 4 * coul2[jj, kk] - 2 * exch2[jj, kk], 0.0)
         )
-        total = total + core
-        coul_f = ham.eris[spa[..., None], j, spa[..., None], j]
-        exch_f = ham.eris[spa[..., None], j, j, spa[..., None]]
-        total = total + jnp.sum(2 * coul_f - exch_f, axis=(-1, -2))
-
-    # pairwise occupied-occupied
-    spa_j = spa[..., :, None]
-    spa_k = spa[..., None, :]
-    same_spin = spin[..., :, None] == spin[..., None, :]
-    coul = ham.eris[spa_j, spa_k, spa_j, spa_k]
-    exch = ham.eris[spa_j, spa_k, spa_k, spa_j]
-    pair = coul - jnp.where(same_spin, exch, 0.0)
-    tri = jnp.triu(jnp.ones((e, e), bool), k=1)
-    total = total + jnp.sum(jnp.where(tri, pair, 0.0), axis=(-1, -2))
+        # frozen-active interaction: sum_p n_p sum_f (2 C[p,f] - X[p,f])
+        fa = jnp.sum(2 * coul2[:, :half_frz] - exch2[:, :half_frz], axis=1)
+        total = total + core + n_vec @ fa
     return total
 
 
