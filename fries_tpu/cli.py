@@ -49,6 +49,7 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
         "norm": _out(result_dir, "norm.txt"),
         "n_dets": _out(result_dir, "N.txt"),
         "n_ini": _out(result_dir, "nini.txt"),
+        "nkept": _out(result_dir, "nkept.txt"),
     }
     est_args = (
         aux["num_keys"], aux["num_vals"], aux["den_keys"], aux["den_vals"],
@@ -161,15 +162,22 @@ def main(argv=None):
     p.add_argument("--mat_nonz", type=int, required=True)
     p.add_argument("--ph_bits", type=int, default=3)
 
-    p = sub.add_parser("subsp_mol", help="multi-state subspace iteration")
-    _add_common(p)
-    p.add_argument("--epsilon", type=float, required=True)
-    p.add_argument("--vec_nonz", type=int, required=True)
-    p.add_argument("--mat_nonz", type=int, required=True)
-    p.add_argument("--trial_vecs", required=True,
-                   help="prefix of <prefix><i>dets/<prefix><i>vals trial files")
-    p.add_argument("--n_trial", type=int, required=True)
-    p.add_argument("--restart_int", type=int, default=10)
+    for name, descr in (
+        ("subsp_mol", "multi-state subspace iteration"),
+        ("subsp_mol_lowmem", "subspace iteration (H*trial projected on the "
+         "fly; same driver - the replicated-sparse htrial design is already "
+         "low-memory)"),
+        ("subspfull_mol", "subspace iteration with exact H application"),
+    ):
+        p = sub.add_parser(name, help=descr)
+        _add_common(p)
+        p.add_argument("--epsilon", type=float, required=True)
+        p.add_argument("--vec_nonz", type=int, required=True)
+        p.add_argument("--mat_nonz", type=int, required=True)
+        p.add_argument("--trial_vecs", required=True,
+                       help="prefix of <prefix><i>dets/<prefix><i>vals trial files")
+        p.add_argument("--n_trial", type=int, required=True)
+        p.add_argument("--restart_int", type=int, default=10)
 
     p = sub.add_parser("observables_mol", help="Rayleigh observable estimator")
     _add_common(p)
@@ -262,8 +270,8 @@ def main(argv=None):
         step, run_steps, state, aux = fciqmc.build(ham, cfg, seed=args.seed)
         return _run_power_driver(args, step, run_steps, state, aux)
 
-    if cmd == "subsp_mol":
-        return _run_subspace(args, ham)
+    if cmd in ("subsp_mol", "subsp_mol_lowmem", "subspfull_mol"):
+        return _run_subspace(args, ham, exact_h=cmd == "subspfull_mol")
 
     if cmd in ("observables_mol", "obs_repl_mol"):
         return _run_observables(args, ham, replica=cmd == "obs_repl_mol")
@@ -309,7 +317,7 @@ def _run_hh(args, cmd):
     return _run_power_driver(args, step, run_steps, state, aux)
 
 
-def _run_subspace(args, ham):
+def _run_subspace(args, ham, exact_h=False):
     import jax
     from fries_tpu import io
     from fries_tpu.drivers import subspace
@@ -334,7 +342,7 @@ def _run_subspace(args, ham):
         eps=args.epsilon, n_trial=t, vec_nonz=args.vec_nonz,
         matr_samp=args.mat_nonz, capacity=args.max_dets,
         spawn_cap=int(args.mat_nonz * 1.4), restart_int=args.restart_int,
-        init_thresh=args.init_thresh,
+        init_thresh=args.init_thresh, exact_h=exact_h,
     )
     step, run_steps, state, aux = subspace.build(
         ham, cfg, jnp.asarray(tk), jnp.asarray(tv), seed=args.seed

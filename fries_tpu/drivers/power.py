@@ -193,6 +193,8 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
             "norm": glob_norm,
             "shift": en_shift,
             "n_dets": gsum(a3.n_used),
+            # exactly-preserved count (reference nkept.txt, frisys_mol.cpp:506)
+            "nkept": jnp.asarray(cfg.target_nonz, jnp.int32) - n_left,
             "n_ini": gsum(
                 jnp.sum(
                     (jnp.abs(comp_v) >= cfg.init_thresh) & (comp_v != 0),
