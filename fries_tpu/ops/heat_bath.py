@@ -248,7 +248,12 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
                 occ, occ_bits, o1, o2, u1, u2):
     """calc_norm_wt (heat_bathPP.cpp:442-598), batched: total probability of
     selecting excitation (o1,o2)->(u1,u2) under the normalized HB-PP
-    factorization, summed over both selection orders."""
+    factorization, summed over both selection orders.
+
+    TPU-first formulation: the per-sample sums over virtual / symmetry-row
+    orbitals collapse to O(1) gathers against precomputed row sums
+    (exch_norms, per-irrep exch row sums) minus the occupied/excluded
+    corrections - no (B, n_orb) masked reductions."""
     half = n_elec // 2
     o1s, o2s, u1s, u2s = o1 % n_orb, o2 % n_orb, u1 % n_orb, u2 % n_orb
     o1_spin, o2_spin = o1 // n_orb, o2 // n_orb
@@ -270,28 +275,24 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     d2_denom = d_denom(o2s, o2_spin)
 
     def e_virt(o_sp, o_spin):
-        spin_bits = jnp.where(
-            (o_spin == 0)[:, None],
-            occ_bits[:, :n_orb],
-            occ_bits[:, n_orb : 2 * n_orb],
-        )
-        w = jnp.where(~spin_bits, tens.exch_sqrt[o_sp[:, None], jnp.arange(n_orb)], 0.0)
-        return jnp.sum(w, axis=-1)
+        # exch_norms[o] - sum over the same-spin occupied orbitals
+        same_e = occ_spin == o_spin[:, None]
+        occ_exch = jnp.where(same_e, tens.exch_sqrt[o_sp[:, None], occ_sp], 0.0)
+        return tens.exch_norms[o_sp] - jnp.sum(occ_exch, axis=-1)
 
     e1_virt = e_virt(o1s, o1_spin)
     e2_virt = e_virt(o2s, o2_spin)
 
     u1_irrep = symm[u1s]
     u2_irrep = symm[u2s]
+    # per-irrep row sums of exch_sqrt: (n_orb, 8), one small matmul
+    irrep_onehot = (symm[:, None] == jnp.arange(8)[None, :]).astype(jnp.float64)
+    symm_sums = tens.exch_sqrt @ irrep_onehot
 
     def e_symm(o_sp, row_irrep, excl_sp):
-        orb_row = lookup[row_irrep]  # (B, K)
-        valid = orb_row < n_orb
-        w = jnp.where(
-            valid, tens.exch_sqrt[o_sp[:, None], jnp.clip(orb_row, 0, n_orb - 1)], 0.0
-        )
-        w = jnp.where(same[:, None] & (orb_row == excl_sp[:, None]), 0.0, w)
-        return jnp.sum(w, axis=-1)
+        total = symm_sums[o_sp, row_irrep]
+        excl = same & (symm[excl_sp] == row_irrep)
+        return total - jnp.where(excl, tens.exch_sqrt[o_sp, excl_sp], 0.0)
 
     e2_symm_no1 = e_symm(o2s, u2_irrep, u1s)
     e1_symm_no1 = e_symm(o1s, u2_irrep, u1s)

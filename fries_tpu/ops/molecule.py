@@ -154,15 +154,12 @@ def sing_matr_el(ham: MolecularHamiltonian, o, u, occ):
 
 
 def _scatter_counts(idx, weights, t):
-    """(..., E) indices + weights -> (..., T) occupancy counts (one-hot
-    accumulation; lowers to a small batched scatter-add)."""
-    flat_idx = idx.reshape(-1, idx.shape[-1])
-    flat_w = weights.reshape(-1, idx.shape[-1])
-    b = flat_idx.shape[0]
-    out = jnp.zeros((b, t), jnp.float64)
-    rows = jnp.broadcast_to(jnp.arange(b)[:, None], flat_idx.shape)
-    out = out.at[rows, flat_idx].add(flat_w)
-    return out.reshape(idx.shape[:-1] + (t,))
+    """(..., E) indices + weights -> (..., T) occupancy counts.
+
+    One-hot compare + reduce instead of scatter-add: XLA fuses the compare,
+    multiply, and reduction into one VPU pass (TPU scatters serialize)."""
+    onehot = idx[..., :, None] == jnp.arange(t, dtype=idx.dtype)
+    return jnp.sum(jnp.where(onehot, weights[..., :, None], 0.0), axis=-2)
 
 
 @jax.jit
