@@ -433,15 +433,6 @@ def comp_sub(
     total = jnp.sum(counts)
     overflow = total > out_size
 
-    # inverse map: r-th kept sub of weighted parent i -> column j
-    kept_rank = jnp.cumsum(keep_sub.astype(jnp.int32), axis=1) - 1
-    inv_kept = jnp.full((n, k), 0, dtype=jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
-    cols = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :], (n, k))
-    inv_kept = inv_kept.at[
-        rows, jnp.where(keep_sub, kept_rank, k)
-    ].set(cols, mode="drop")
-
     # per-row exclusive cumsum of non-kept sub masses (for grid-hit sub lookup)
     row_cum = jnp.cumsum(rem_sub, axis=1) - rem_sub
 
@@ -455,10 +446,15 @@ def comp_sub(
     is_kept_emit = r < kept_counts[parent]
     p_uniform = uniform[parent]
 
-    # kept emissions
-    kept_sub_idx = jnp.where(
-        p_uniform, r, inv_kept[parent, jnp.clip(r, 0, k - 1)]
+    # kept emissions: column of the r-th kept sub in the parent's row
+    # (fused rank compare instead of a scatter-built inverse map)
+    keep_rows = keep_sub[parent]                     # (M, K)
+    kept_rank_rows = jnp.cumsum(keep_rows.astype(jnp.int32), axis=1) - 1
+    kept_hit = keep_rows & (kept_rank_rows == r[:, None])
+    kept_col = jnp.sum(
+        jnp.where(kept_hit, jnp.arange(k, dtype=jnp.int32), 0), axis=1
     )
+    kept_sub_idx = jnp.where(p_uniform, r, kept_col)
     kept_val = jnp.where(
         p_uniform,
         values[parent] / ndiv_f[parent],
@@ -485,13 +481,13 @@ def comp_sub(
         )
     )
     # map count of exhausted subs to the actual column index of the next
-    # non-kept sub: count of nonkept columns strictly before target == wt_sub
-    nonkept_rank = jnp.cumsum((rem_sub > 0).astype(jnp.int32), axis=1) - 1
-    inv_nonkept = jnp.full((n, k), 0, dtype=jnp.int32)
-    inv_nonkept = inv_nonkept.at[
-        rows, jnp.where(rem_sub > 0, nonkept_rank, k)
-    ].set(cols, mode="drop")
-    wt_sub_col = inv_nonkept[parent, jnp.clip(wt_sub, 0, k - 1)]
+    # non-kept sub (fused rank compare)
+    rem_rows = rem_sub[parent] > 0                   # (M, K)
+    nonkept_rank_rows = jnp.cumsum(rem_rows.astype(jnp.int32), axis=1) - 1
+    nk_hit = rem_rows & (nonkept_rank_rows == wt_sub[:, None])
+    wt_sub_col = jnp.sum(
+        jnp.where(nk_hit, jnp.arange(k, dtype=jnp.int32), 0), axis=1
+    )
 
     grid_sub_idx = jnp.where(p_uniform, uni_sub, wt_sub_col)
     grid_val = unit

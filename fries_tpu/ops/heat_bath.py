@@ -263,25 +263,22 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
 
     s_denom = jnp.sum(tens.s_tens[occ_sp], axis=-1)
 
-    def d_denom(o_sp, o_spin):
-        w_same = tens.d_same[o_sp[:, None], occ_sp]
-        w_diff = tens.d_diff[o_sp[:, None], occ_sp]
-        same_e = occ_spin == o_spin[:, None]
-        w = jnp.where(same_e, w_same, w_diff)
-        # the o itself contributes d_same[o,o] = 0, no explicit exclusion needed
-        return jnp.sum(w, axis=-1)
+    # stacked d-denominators and e-virt sums for o1 and o2 (one fused pass
+    # instead of four separate gather/reduce chains - per-kernel dispatch
+    # overhead dominates on TPU-over-tunnel setups)
+    o_sp2 = jnp.stack([o1s, o2s])              # (2, B)
+    o_spin2 = jnp.stack([o1_spin, o2_spin])
+    same_e2 = occ_spin[None] == o_spin2[..., None]      # (2, B, E)
+    w_same2 = tens.d_same[o_sp2[..., None], occ_sp[None]]
+    w_diff2 = tens.d_diff[o_sp2[..., None], occ_sp[None]]
+    d_denoms = jnp.sum(jnp.where(same_e2, w_same2, w_diff2), axis=-1)
+    d1_denom, d2_denom = d_denoms[0], d_denoms[1]
 
-    d1_denom = d_denom(o1s, o1_spin)
-    d2_denom = d_denom(o2s, o2_spin)
-
-    def e_virt(o_sp, o_spin):
-        # exch_norms[o] - sum over the same-spin occupied orbitals
-        same_e = occ_spin == o_spin[:, None]
-        occ_exch = jnp.where(same_e, tens.exch_sqrt[o_sp[:, None], occ_sp], 0.0)
-        return tens.exch_norms[o_sp] - jnp.sum(occ_exch, axis=-1)
-
-    e1_virt = e_virt(o1s, o1_spin)
-    e2_virt = e_virt(o2s, o2_spin)
+    occ_exch2 = jnp.where(
+        same_e2, tens.exch_sqrt[o_sp2[..., None], occ_sp[None]], 0.0
+    )
+    e_virts = tens.exch_norms[o_sp2] - jnp.sum(occ_exch2, axis=-1)
+    e1_virt, e2_virt = e_virts[0], e_virts[1]
 
     u1_irrep = symm[u1s]
     u2_irrep = symm[u2s]
@@ -289,15 +286,16 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     irrep_onehot = (symm[:, None] == jnp.arange(8)[None, :]).astype(jnp.float64)
     symm_sums = tens.exch_sqrt @ irrep_onehot
 
-    def e_symm(o_sp, row_irrep, excl_sp):
-        total = symm_sums[o_sp, row_irrep]
-        excl = same & (symm[excl_sp] == row_irrep)
-        return total - jnp.where(excl, tens.exch_sqrt[o_sp, excl_sp], 0.0)
-
-    e2_symm_no1 = e_symm(o2s, u2_irrep, u1s)
-    e1_symm_no1 = e_symm(o1s, u2_irrep, u1s)
-    e2_symm_no2 = e_symm(o2s, u1_irrep, u2s)
-    e1_symm_no2 = e_symm(o1s, u1_irrep, u2s)
+    # stacked e_symm: rows (o2,g2,u1), (o1,g2,u1), (o2,g1,u2), (o1,g1,u2)
+    es_o = jnp.stack([o2s, o1s, o2s, o1s])
+    es_g = jnp.stack([u2_irrep, u2_irrep, u1_irrep, u1_irrep])
+    es_x = jnp.stack([u1s, u1s, u2s, u2s])
+    es_tot = symm_sums[es_o, es_g]
+    es_excl = same[None] & (symm[es_x] == es_g)
+    es = es_tot - jnp.where(es_excl, tens.exch_sqrt[es_o, es_x], 0.0)
+    e2_symm_no1, e1_symm_no1, e2_symm_no2, e1_symm_no2 = (
+        es[0], es[1], es[2], es[3]
+    )
 
     ex = tens.exch_sqrt
     exo1u1 = ex[o1s, u1s]
