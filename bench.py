@@ -34,37 +34,44 @@ def main():
     from fries_tpu.drivers import frisys
 
     if small:
+        ladder = [("small", 2000, 4000, 1 << 13, 6000, 2, 5)]
         ham = synth.make_system(10, 6, seed=1)
-        cfg = frisys.FrisysConfig(
-            eps=0.01, vec_nonz=2000, matr_samp=4000, capacity=1 << 13,
-            spawn_cap=6000, target_norm=5000.0,
-        )
-        n_warm, n_time = 2, 5
     else:
         ham = synth.n2_ccpvdz_like(seed=1)
+        # try the headline size first; fall back if the device rejects it
+        ladder = [
+            ("1e6", 1_000_000, 1_000_000, 1 << 21, 1_400_000, 2, 5),
+            ("500k", 500_000, 500_000, 1 << 20, 700_000, 2, 5),
+            ("125k", 125_000, 125_000, 1 << 18, 180_000, 2, 5),
+        ]
+
+    label = dt = m = cfg = None
+    for label, vec_nonz, matr_samp, cap, spawn_cap, n_warm, n_time in ladder:
         cfg = frisys.FrisysConfig(
-            eps=0.001, vec_nonz=1_000_000, matr_samp=1_000_000,
-            capacity=1 << 21, spawn_cap=1_400_000, target_norm=2_000_000.0,
+            eps=0.001, vec_nonz=vec_nonz, matr_samp=matr_samp, capacity=cap,
+            spawn_cap=spawn_cap, target_norm=2.0 * vec_nonz,
         )
-        n_warm, n_time = 3, 10
-
-    step, run_steps, state, aux = frisys.build(ham, cfg, seed=0)
-    args = (
-        aux["num_keys"], aux["num_vals"], aux["den_keys"], aux["den_vals"],
-        aux["ref_key"],
-    )
-
-    # warmup: same static scan length as the timed region (a different
-    # n_iter would trigger a full recompile inside the timing), repeated
-    # n_warm times to grow the population to steady state
-    for _ in range(n_warm):
-        state, m = run_steps(state, *args, n_time)
-    jax.block_until_ready(m)
-
-    t0 = time.perf_counter()
-    state, m = run_steps(state, *args, n_time)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
+        try:
+            step, run_steps, state, aux = frisys.build(ham, cfg, seed=0)
+            args = (
+                aux["num_keys"], aux["num_vals"], aux["den_keys"],
+                aux["den_vals"], aux["ref_key"],
+            )
+            # warmup: same static scan length as the timed region (a
+            # different n_iter would recompile inside the timing)
+            for _ in range(n_warm):
+                state, m = run_steps(state, *args, n_time)
+            jax.block_until_ready(m)
+            t0 = time.perf_counter()
+            state, m = run_steps(state, *args, n_time)
+            jax.block_until_ready(m)
+            dt = time.perf_counter() - t0
+            break
+        except Exception as e:  # device fault / OOM: try the next rung
+            print(f"# config {label} failed: {type(e).__name__}", file=sys.stderr)
+            dt = None
+    if dt is None:
+        raise SystemExit("all benchmark configurations failed")
 
     iters_per_sec = n_time / dt
     nonzeros_per_sec = cfg.matr_samp * iters_per_sec
@@ -83,7 +90,7 @@ def main():
         json.dumps(
             {
                 "metric": "sampled H*v nonzeros/sec/chip, frisys HB-PP, "
-                "N2-ccpvdz-size synthetic, 1e6 kept dets"
+                f"N2-ccpvdz-size synthetic, {label} kept dets"
                 + (" (SMALL smoke config)" if small else ""),
                 "value": round(nonzeros_per_sec, 1),
                 "unit": "nonzeros/s",
