@@ -131,21 +131,24 @@ def sing_matr_el(ham: MolecularHamiltonian, o, u, occ):
     spin_o = _spin(ham, o)
     mel = ham.hcore[so, su]
 
-    # occupancy count vectors over total spatial orbitals; broadcast the
-    # occupied lists against the per-sample leading dims first
+    # select the occupied entries from the row-gathered (..., T) slabs; a
+    # per-row take_along_axis keeps memory at (..., E) (an occupancy one-hot
+    # would materialize (..., E, T) - gigabytes at full spawn batches)
     occ_spa = _spatial(ham, occ)
     same_spin = _spin(ham, occ) == spin_o[..., None]
     shape = jnp.broadcast_shapes(occ_spa.shape, same_spin.shape)
     occ_b = jnp.broadcast_to(occ_spa, shape)
-    n_all = _scatter_counts(occ_b, jnp.ones(shape, jnp.float64), t)
-    n_same = _scatter_counts(
-        occ_b, jnp.where(jnp.broadcast_to(same_spin, shape), 1.0, 0.0), t
-    )
 
     coul_row = coul3[so, su]          # (..., T)
     exch_row = exch3[so, su]
-    mel = mel + jnp.sum(coul_row * n_all, axis=-1)
-    mel = mel - jnp.sum(exch_row * n_same, axis=-1)
+    coul_sel = jnp.take_along_axis(
+        jnp.broadcast_to(coul_row, shape[:-1] + (t,)), occ_b, axis=-1
+    )
+    exch_sel = jnp.take_along_axis(
+        jnp.broadcast_to(exch_row, shape[:-1] + (t,)), occ_b, axis=-1
+    )
+    mel = mel + jnp.sum(coul_sel, axis=-1)
+    mel = mel - jnp.sum(jnp.where(same_spin, exch_sel, 0.0), axis=-1)
     if half_frz:
         frz = jnp.arange(half_frz)
         mel = mel + 2 * jnp.sum(coul_row[..., :half_frz], axis=-1)
