@@ -56,6 +56,7 @@ def metrics_spec():
         "shift": P(),
         "n_dets": P(),
         "n_ini": P(),
+        "nkept": P(),
         "overflow": P(),
     }
 

@@ -124,7 +124,7 @@ def from_unsorted(arena: Arena, keys, vals, occ, diag) -> Arena:
 
 
 @partial(jax.jit, static_argnames=("origin_row", "dest_row"))
-def accumulate(
+def accumulate_fullsort(
     arena: Arena,
     spawn_keys: jax.Array,
     spawn_vals: jax.Array,
@@ -134,7 +134,8 @@ def accumulate(
     origin_row: int = 0,
     dest_row: int = 0,
 ):
-    """Merge spawned contributions into the arena with initiator semantics.
+    """Reference concat+sort merge (kept for cross-validation of the faster
+    sorted-merge :func:`accumulate`).
 
     Invalid spawn slots must carry the sentinel key (their values are ignored).
     The contribution of each valid spawn lands in ``dest_row``; a spawn with
@@ -434,5 +435,125 @@ def accumulate_multi(
         occ=out_occ,
         diag=out_diag,
         n_used=jnp.minimum(n_live, c)[None],
+    )
+    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
+
+
+@partial(jax.jit, static_argnames=("origin_row", "dest_row"))
+def accumulate(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_occ: jax.Array,
+    spawn_diag: jax.Array,
+    spawn_ini: jax.Array,
+    origin_row: int = 0,
+    dest_row: int = 0,
+):
+    """Merge spawned contributions into the arena with initiator semantics.
+
+    Sorted-merge formulation: only the S spawn rows are sorted; the (already
+    sorted) arena is merged by binary search - the full (C+S) sort of the
+    naive approach is the most expensive kernel at production sizes.
+
+    Steps: sort spawns by key -> segment-sum duplicate spawn contributions
+    (the initiator rule gates each spawn by its own flag or the target's
+    nonzero origin-row occupancy, looked up in the arena) -> compute output
+    positions for arena rows and new unique keys via searchsorted -> scatter.
+
+    Invalid spawn slots must carry the sentinel key.  Returns (new_arena,
+    stats) with stats = dict(overflow, nonini_occ_add) - semantics identical
+    to the reference two-pass add (frisys_mol.cpp:430-471, vec_utils.hpp:
+    606-641); see tests/test_arena.py.
+    """
+    c, w = arena.keys.shape
+    s = spawn_keys.shape[0]
+    r = arena.n_vecs
+
+    # ---- 1. sort spawns by key ----
+    perm = _sort_perm(spawn_keys)
+    skeys = spawn_keys[perm]
+    svals = spawn_vals[perm]
+    socc = spawn_occ[perm]
+    sdiag = spawn_diag[perm]
+    sini = spawn_ini[perm]
+    s_valid = ~dets.is_invalid(skeys)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ~dets.det_eq(skeys[1:], skeys[:-1])]
+    ) & s_valid
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [-1 for leading invalid]
+    seg_id = jnp.where(s_valid, seg_id, s)
+
+    # unique spawn keys compacted to the front (sorted, sentinel padded)
+    n_uniq = jnp.sum(first, dtype=jnp.int32)
+    upos = jnp.where(first, jnp.cumsum(first.astype(jnp.int32)) - 1, s)
+    ukeys = jnp.tile(dets.invalid_det(w), (s, 1)).at[upos].set(skeys, mode="drop")
+    uocc = jnp.zeros((s, arena.occ.shape[1]), jnp.int32).at[upos].set(
+        socc, mode="drop"
+    )
+    udiag = jnp.zeros((s,), jnp.float64).at[upos].set(sdiag, mode="drop")
+
+    # ---- 2. arena lookup: does each unique key exist with nonzero origin? --
+    apos, found = dets.lookup_dets(arena.keys, ukeys)
+    found = found & arena.valid[apos]
+    occupied = found & (arena.vals[origin_row][apos] != 0)
+
+    # per-spawn gating and segment contribution sums
+    elem_occupied = occupied[jnp.clip(seg_id, 0, s - 1)] & s_valid
+    allowed = s_valid & (sini | elem_occupied)
+    nonini_occ_add = jnp.sum(s_valid & ~sini & elem_occupied, dtype=jnp.int32)
+    contrib = jnp.zeros((s,), svals.dtype).at[seg_id].add(
+        jnp.where(allowed, svals, 0), mode="drop"
+    )
+    seg_live = jnp.zeros((s,), jnp.bool_).at[seg_id].max(allowed, mode="drop")
+
+    # ---- 3. add found contributions onto the arena rows ----
+    new_vals = arena.vals.at[dest_row, jnp.where(found, apos, c)].add(
+        jnp.where(found, contrib, 0), mode="drop"
+    )
+
+    # ---- 4. positions of arena rows and new unique keys in the output ----
+    a_valid = arena.valid
+    n_avalid = jnp.sum(a_valid, dtype=jnp.int32)
+    is_new = (~found) & seg_live & ~dets.is_invalid(ukeys)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.sum(is_new, dtype=jnp.int32)
+    overflow = n_avalid + n_new > c
+
+    # arena row i goes to i + (# new keys < key_i); since arena rows are the
+    # first n_avalid slots and uniques are sorted, count via searchsorted
+    pos_in_uniq = dets.searchsorted_dets(ukeys, arena.keys)
+    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
+    new_less = jnp.where(pos_in_uniq > 0, cum_new[jnp.maximum(pos_in_uniq - 1, 0)], 0)
+    arena_dest = jnp.where(
+        a_valid, jnp.arange(c, dtype=jnp.int32) + new_less, c
+    )
+
+    # new unique key j goes to (# valid arena keys < key_j) + rank among new
+    a_less = dets.searchsorted_dets(arena.keys, ukeys)
+    uniq_dest = jnp.where(is_new, a_less + new_rank, c)
+
+    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
+    out_keys = out_keys.at[arena_dest].set(arena.keys, mode="drop")
+    out_keys = out_keys.at[uniq_dest].set(ukeys, mode="drop")
+    out_vals = jnp.zeros((r, c), arena.vals.dtype)
+    out_vals = out_vals.at[:, arena_dest].set(new_vals, mode="drop")
+    out_vals = out_vals.at[dest_row, uniq_dest].add(
+        jnp.where(is_new, contrib, 0), mode="drop"
+    )
+    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
+    out_occ = out_occ.at[arena_dest].set(arena.occ, mode="drop")
+    out_occ = out_occ.at[uniq_dest].set(uocc, mode="drop")
+    out_diag = jnp.zeros((c,), jnp.float64)
+    out_diag = out_diag.at[arena_dest].set(arena.diag, mode="drop")
+    out_diag = out_diag.at[uniq_dest].set(udiag, mode="drop")
+
+    new_arena = Arena(
+        keys=out_keys,
+        vals=out_vals,
+        occ=out_occ,
+        diag=out_diag,
+        n_used=jnp.minimum(n_avalid + n_new, c)[None],
     )
     return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}

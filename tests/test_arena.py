@@ -171,3 +171,37 @@ def test_random_accumulate_against_dict():
     assert set(d.keys()) == set(model.keys())
     for k in model:
         assert np.isclose(d[k], model[k]), (k, d[k], model[k])
+
+
+def test_sorted_merge_matches_fullsort():
+    """The sorted-merge accumulate must agree exactly with the reference
+    concat+sort implementation, including initiator gating."""
+    rng = np.random.default_rng(8)
+    for trial in range(5):
+        a = ar.make(64, W, 2, E)
+        # seed arena
+        seed_entries = [
+            (int(rng.integers(1, 2**N_BITS - 1)), float(rng.standard_normal()), True)
+            for _ in range(12)
+        ]
+        sp0 = make_spawns(seed_entries, 16)
+        a, _ = ar.accumulate(a, *sp0, origin_row=0, dest_row=0)
+        # random spawns with mixed initiator flags
+        entries = [
+            (
+                int(rng.integers(1, 2**N_BITS - 1)),
+                float(rng.standard_normal()),
+                bool(rng.random() < 0.5),
+            )
+            for _ in range(10)
+        ]
+        sp = make_spawns(entries, 16)
+        out_a, stats_a = ar.accumulate(a, *sp, origin_row=0, dest_row=1)
+        out_b, stats_b = ar.accumulate_fullsort(a, *sp, origin_row=0, dest_row=1)
+        assert dense_of(out_a, 0) == dense_of(out_b, 0)
+        d1a, d1b = dense_of(out_a, 1), dense_of(out_b, 1)
+        assert set(d1a) == set(d1b)
+        for k in d1a:
+            assert np.isclose(d1a[k], d1b[k])
+        assert int(stats_a["nonini_occ_add"]) == int(stats_b["nonini_occ_add"])
+        assert int(out_a.n_used[0]) == int(out_b.n_used[0])
