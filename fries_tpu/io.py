@@ -190,7 +190,11 @@ def parse_hf_input(hf_dir):
     n_frz = int(p["n_frozen"])
     n_orb = int(p["n_orb"])
     tot_orb = n_orb + n_frz // 2
-    symm = np.loadtxt(hf_dir / "symm.txt", dtype=np.int64, delimiter=",").reshape(-1)
+    # the reference format writes trailing commas ("0,\n"); parse tokenwise
+    symm = np.asarray(
+        [int(t) for t in (hf_dir / "symm.txt").read_text().replace(",", " ").split()],
+        np.int64,
+    )
     hcore = np.genfromtxt(hf_dir / "hcore.txt", delimiter=",")
     hcore = hcore.reshape(-1)[: tot_orb * tot_orb].reshape(tot_orb, tot_orb)
     eris = np.genfromtxt(hf_dir / "eris.txt", delimiter=",").reshape(-1)
@@ -267,7 +271,7 @@ def save_vec_txt(prefix, keys, vals, n_bits):
             f.write(f"{mask}\n")
     with open(str(prefix) + "vals", "w") as f:
         for v in np.asarray(vals):
-            f.write(f"{v!r}\n")
+            f.write(f"{float(v)!r}\n")
 
 
 def load_vec_dice(path, n_orb, n_bits, state: int = 0):
@@ -313,3 +317,18 @@ def load_vec_dice(path, n_orb, n_bits, state: int = 0):
         keys.append(row)
         vals.append(val)
     return np.asarray(keys, np.uint32), np.asarray(vals)
+
+
+def load_rdm(path):
+    """Whitespace-separated numeric file -> flat float array
+    (reference load_rdm, io_utils.cpp:621-633)."""
+    return np.asarray([float(x) for x in Path(path).read_text().split()])
+
+
+def load_last_line(path):
+    """Last line of a CSV stream as floats (shift-resume helper,
+    reference load_last_line, io_utils.cpp:636-663)."""
+    lines = [l for l in Path(path).read_text().splitlines() if l.strip()]
+    if not lines:
+        return np.zeros(0)
+    return np.asarray([float(x) for x in lines[-1].split(",")])
