@@ -104,7 +104,10 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         assert m_samp > 0, "matr_samp must exceed the dense H element count"
     unnorm = cfg.unnorm
 
-    def spawn(keys, occ, vals, h_fac, key):
+    def spawn(keys, occ, vals, h_fac, key, thresh=None):
+        # ``thresh`` (optional, traced scalar) overrides the static initiator
+        # cutoff; the subspace driver passes the norm-relative threshold
+        # init_thresh * ||v||_1 / matr_samp (subsp_mol.cpp:522-523).
         c = keys.shape[0]
         vals0_full = vals
         if determ is not None:
@@ -370,7 +373,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         )
         new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
         new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
-        ini = jnp.abs(vals[det_idx]) >= cfg.init_thresh
+        ini_cut = cfg.init_thresh if thresh is None else thresh
+        ini = jnp.abs(vals[det_idx]) >= ini_cut
 
         if determ is not None:
             # exact multiplication by the dense H block

@@ -82,7 +82,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         # subspfull_mol: exact (uncompressed) H application per vector
         tmpl_x = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
 
-        def spawn(keys, occ, vals, h_fac, key):
+        def spawn(keys, occ, vals, h_fac, key, thresh=None):
             w, amp, nocc = mol.exact_offdiag_batch(
                 ham, tmpl_x, keys, occ, vals, h_fac
             )
@@ -238,11 +238,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         for j in range(t):
             vj = jnp.where(a.valid, a.vals[j], 0.0)
             kj = jax.random.fold_in(key_iter, 200 + j)
-            w, amp, occ_s, diag_s, ini_j = spawn(a.keys, a.occ, vj, -cfg.eps, kj)
-            # NOTE: the reference uses a norm-relative initiator threshold
-            # (init_thresh * norm / matr_samp, subsp_mol.cpp:522-523); the
-            # spawner currently applies the static cfg threshold (0 = all
-            # initiators).
+            # norm-relative initiator threshold (subsp_mol.cpp:522-523):
+            # init_thresh * ||v_j||_1 / matr_samp, recomputed per vector per
+            # iteration (init_thresh=0 keeps every parent an initiator)
+            thr_j = cfg.init_thresh * norms_now[j] / cfg.matr_samp
+            w, amp, occ_s, diag_s, ini_j = spawn(
+                a.keys, a.occ, vj, -cfg.eps, kj, thresh=thr_j
+            )
             all_words.append(w)
             all_amps.append(amp)
             all_occ.append(occ_s)

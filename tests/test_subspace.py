@@ -97,3 +97,30 @@ def test_subspfull_exact_h(system):
     got = np.sort(evals_sub.real) + float(aux["e_ref"])
     np.testing.assert_allclose(got[0], evals[0], atol=1e-5)
     np.testing.assert_allclose(got[1], evals[1], atol=1e-3)
+
+
+def test_norm_relative_initiator(system):
+    """With a huge init_thresh the norm-relative cutoff marks every stochastic
+    spawn non-initiator; spawns onto unoccupied determinants are then dropped
+    by the arena accumulate, so the index set can never grow beyond the trial
+    support (subsp_mol.cpp:522-523 semantics)."""
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 12)
+    cfg = subspace.SubspaceConfig(
+        eps=0.05, n_trial=2, vec_nonz=60, matr_samp=250, capacity=160,
+        spawn_cap=1024, restart_int=10, init_thresh=1e9,
+    )
+    step, run_steps, state, aux = subspace.build(ham, cfg, t_keys, t_vals, seed=3)
+    n0 = int(np.asarray(state.arena.n_used).reshape(-1)[0])
+    state, traj = run_steps(state, 40)
+    n_dets = np.asarray(traj["n_dets"]).reshape(-1)
+    assert n_dets.max() <= n0
+
+    # init_thresh=0 (all initiators) must grow the set for the same seed
+    cfg0 = subspace.SubspaceConfig(
+        eps=0.05, n_trial=2, vec_nonz=60, matr_samp=250, capacity=160,
+        spawn_cap=1024, restart_int=10, init_thresh=0.0,
+    )
+    step0, run_steps0, state0, _ = subspace.build(ham, cfg0, t_keys, t_vals, seed=3)
+    state0, traj0 = run_steps0(state0, 40)
+    assert np.asarray(traj0["n_dets"]).reshape(-1).max() > n0
