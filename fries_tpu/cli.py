@@ -70,7 +70,7 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
         for name, f in files.items():
             arr = np.asarray(traj[name]).reshape(len(np.asarray(traj["norm"])), -1)
             for row in arr:
-                f.write(",".join(repr(x) for x in row) + "\n")
+                f.write(",".join(repr(x.item()) for x in row) + "\n")
             f.flush()
         done += n
         num = np.asarray(traj["proj_num"])[-1]

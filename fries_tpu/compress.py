@@ -370,6 +370,11 @@ def comp_sub(
     w_sub = jnp.where(weighted[:, None] & sub_mask, values[:, None] * sub_weights, 0.0)
     w_uni = jnp.where(uniform, values, 0.0)
     ndiv_f = jnp.maximum(ndiv, 1).astype(jnp.float64)
+    # scale-relative floor for sub-weight preservation (the reference gates on
+    # the *global* residual norm, compress_utils.cpp:93-96; an absolute floor
+    # would change behavior for small-norm vectors)
+    tot_norm0 = _gsum(jnp.sum(w_sub) + jnp.sum(w_uni), axis_name)
+    w_floor = 1e-14 * tot_norm0
 
     # ---- preservation fixpoint (reference find_keep_sub) ----
     def cond(state):
@@ -389,7 +394,7 @@ def comp_sub(
         thr = jnp.where(
             budget > 0, glob_norm / jnp.maximum(budget, 1).astype(jnp.float64), jnp.inf
         )
-        new_keep_sub = keep_sub | ((w_sub > 1e-12) & (w_sub >= thr))
+        new_keep_sub = keep_sub | ((w_sub > w_floor) & (w_sub >= thr))
         new_keep_uni = keep_uni | ((w_uni > 0) & (w_uni / ndiv_f >= thr))
         n_added = _gsum(
             jnp.sum(new_keep_sub & ~keep_sub, dtype=jnp.int32)
@@ -412,7 +417,9 @@ def comp_sub(
         jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
     )
     n_grid = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
-    n_grid = jnp.where(glob_norm / jnp.maximum(n_grid, 1) < 1e-8, 0, n_grid)
+    # zero the stochastic budget only when the residual *global norm* is
+    # negligible (reference compress_utils.cpp:93-96), not per-sample unit
+    n_grid = jnp.where(glob_norm < 1e-9, 0, n_grid)
     unit = jnp.where(n_grid > 0, glob_norm / jnp.maximum(n_grid, 1), jnp.inf)
 
     # ---- emission bookkeeping ----

@@ -55,13 +55,6 @@ class ObsState:
     iterat: jax.Array
 
 
-def one_elec_spawns(ham: mol.MolecularHamiltonian, keys, vals):
-    """O|v> spawns for O = sum_s a^+_cre a_des (one_elec_op,
-    molecule.cpp:222-252): per determinant, one candidate per spin."""
-    # filled by closure in build(); placeholder for doc parity
-    raise NotImplementedError
-
-
 def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
           init_val: float = 100.0):
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)

@@ -96,12 +96,17 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         a = state.arena
         eps = cfg.eps
         key_iter = jax.random.fold_in(state.key, state.iterat)
+        # independent streams for the spawner and the vector-compression grid:
+        # reusing key_iter for both makes the systematic grid bit-identical to
+        # the spawner's level-A draw, correlating the compression rn with its
+        # input (the reference draws fresh MT samples, compress_utils.cpp:291)
+        key_spawn, key_vec = jax.random.split(key_iter)
         vals0 = jnp.where(a.valid, a.vals[0], 0.0)
 
         den_before = gsum(ar.dot(a, den_keys, den_vals, row=0))
 
         flat_words, flat_amps, flat_occ, flat_diag, flat_ini = spawn_fn(
-            a.keys, a.occ, vals0, -eps, key_iter
+            a.keys, a.occ, vals0, -eps, key_spawn
         )
         flat_words = jnp.where(
             (flat_amps != 0)[:, None],
@@ -179,7 +184,7 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         en_shift = jnp.where(do_shift, new_shift, state.en_shift)
         last_norm = jnp.where(do_shift, new_last, state.last_norm)
 
-        rn = jax.random.uniform(key_iter, dtype=jnp.float64)
+        rn = jax.random.uniform(key_vec, dtype=jnp.float64)
         comp_v = compress.sys_comp(stoch_v, keep, n_left, rn, loc_norm, axis_name=axis)
         comp_v = jnp.where(prot, new_v, comp_v)
 
@@ -251,12 +256,15 @@ def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
             vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
 
         def one(args):
-            k, o, v = args
-            return spawn_one(k, o, v, h_fac, key)
+            # fold the chunk index into the key so a stochastic spawn_one
+            # draws independent randoms per chunk
+            i, k, o, v = args
+            return spawn_one(k, o, v, h_fac, jax.random.fold_in(key, i))
 
         w, amp, oc, dg, ini = lax.map(
             one,
             (
+                jnp.arange(n_chunks, dtype=jnp.int32),
                 keys.reshape(n_chunks, batch, -1),
                 occ.reshape(n_chunks, batch, -1),
                 vals.reshape(n_chunks, batch),
