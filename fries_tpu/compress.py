@@ -78,6 +78,71 @@ def stochastic_round(key: jax.Array, p: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# greedy-threshold seeding
+#
+# The greedy "preserve the largest exactly" rule (compress_utils.cpp:29-105)
+# has thresholds that strictly DESCEND from T0 = tot_mass/n_samp as elements
+# are preserved, so any weight-threshold prefix {u >= t} with t >= T_final is
+# a state on the greedy trajectory.  We bound T_final from above with one
+# fused pass computing cumulative mass/cost above geometric edges T0*2^-k,
+# simulate the greedy over whole buckets, and back off one bucket for float
+# safety.  Seeding the exact fixpoint with {u >= T_est} converges in ~2 rounds
+# instead of one round per threshold cascade step - the while_loop rounds were
+# the dominant kernel-dispatch cost at production sizes.
+# ---------------------------------------------------------------------------
+
+_SEED_EDGES = 40
+
+
+def _preserve_threshold_seed(parts, n_samp, tot_mass, axis_name):
+    """Conservative upper bound T_est >= the final greedy preserve threshold.
+
+    ``parts``: list of (u, mass, cost) with u = per-budget-unit weight
+    (0 = inactive), mass = u*cost the preserved 1-norm, cost = budget units
+    consumed if preserved (None = 1).  Guarantee: every item with
+    u >= T_est is in the greedy preserve set.
+    """
+    nb = _SEED_EDGES
+    n_sampf = jnp.maximum(n_samp, 1).astype(jnp.float64)
+    t0 = tot_mass / n_sampf
+    edges = t0 * jnp.exp2(-jnp.arange(nb, dtype=jnp.float64))  # descending
+
+    mass_above = jnp.zeros((nb,), jnp.float64)
+    cost_above = jnp.zeros((nb,), jnp.float64)
+    for u, mass, cost in parts:
+        uf = u.reshape(-1)
+        ge = uf[None, :] >= edges[:, None]  # fused into the reductions below
+        mass_above = mass_above + jnp.sum(
+            jnp.where(ge, mass.reshape(-1)[None, :], 0.0), axis=1,
+            dtype=jnp.float64,
+        )
+        if cost is None:
+            cost_above = cost_above + jnp.sum(ge, axis=1, dtype=jnp.float64)
+        else:
+            cost_above = cost_above + jnp.sum(
+                jnp.where(ge, cost.reshape(-1)[None, :].astype(jnp.float64), 0.0),
+                axis=1, dtype=jnp.float64,
+            )
+    mass_above = _gsum(mass_above, axis_name)
+    cost_above = _gsum(cost_above, axis_name)
+
+    zero1 = jnp.zeros((1,), jnp.float64)
+    cm_excl = jnp.concatenate([zero1, mass_above[:-1]])
+    cc_excl = jnp.concatenate([zero1, cost_above[:-1]])
+    budget_rem = n_sampf - cc_excl
+    thr_before = (tot_mass - cm_excl) / jnp.maximum(budget_rem, 1e-300)
+    ok = (budget_rem > 0) & (cost_above <= n_sampf) & (edges >= thr_before)
+    prefix_ok = jnp.cumsum((~ok).astype(jnp.int32)) == 0
+    b_last = jnp.sum(prefix_ok, dtype=jnp.int32) - 1
+    t_est = jnp.where(
+        b_last >= 0,
+        t0 * jnp.exp2(-jnp.maximum(b_last - 1, 0).astype(jnp.float64)),
+        jnp.inf,
+    )
+    return jnp.where(tot_mass > 0, t_est, jnp.inf)
+
+
+# ---------------------------------------------------------------------------
 # exact preservation (reference find_preserve, compress_utils.cpp:29-105)
 # ---------------------------------------------------------------------------
 
@@ -108,6 +173,11 @@ def find_preserve(
     abs_vals = abs_vals.astype(jnp.float64)
     n_samp = jnp.asarray(n_samp, dtype=jnp.int32)
 
+    tot_mass = _gsum(jnp.sum(abs_vals), axis_name)
+    t_est = _preserve_threshold_seed(
+        [(abs_vals, abs_vals, None)], n_samp, tot_mass, axis_name
+    )
+
     def cond(state):
         keep, n_added, rounds = state
         return (n_added > 0) & (rounds < max_rounds)
@@ -128,7 +198,7 @@ def find_preserve(
         )
         return new_keep, n_added, rounds + 1
 
-    keep0 = jnp.zeros(abs_vals.shape, dtype=jnp.bool_)
+    keep0 = abs_vals >= t_est
     keep, _, _ = lax.while_loop(cond, body, (keep0, jnp.int32(1), jnp.int32(0)))
 
     rem_mask = (~keep) & (abs_vals > 0)
@@ -297,6 +367,150 @@ def piv_comp_serial(key: jax.Array, vals: jax.Array, keep: jax.Array, n_samp, lo
     return new_vals.astype(dtype)
 
 
+def piv_select_tree(key: jax.Array, p: jax.Array) -> jax.Array:
+    """Pivotal (Deville-Tille) 0/1 selection with inclusion probabilities
+    ``p`` (each in [0, 1]) via a log-depth pairing tournament.
+
+    The reference's pivotal resampling (piv_samp_serial,
+    compress_utils.cpp:390-527) passes a residual element sequentially; the
+    pivotal method is unbiased for ANY duel order, so a binary pairing tree
+    gives the same marginals E[sel_i] = p_i in O(log N) vectorized rounds -
+    the TPU-native formulation.  The number selected is floor(sum p) or
+    ceil(sum p).
+
+    Returns a bool mask of selected elements.
+    """
+    n = p.shape[0]
+    levels = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    size = 1 << levels
+    pr = jnp.zeros((size,), jnp.float64).at[:n].set(p.astype(jnp.float64))
+    idx = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32),
+         jnp.full((size - n,), n, jnp.int32)]
+    )
+    sel = jnp.zeros((n,), jnp.bool_)
+
+    for lev in range(levels):
+        m = size >> (lev + 1)
+        pa, pb = pr[0::2], pr[1::2]
+        ia, ib = idx[0::2], idx[1::2]
+        u = jax.random.uniform(
+            jax.random.fold_in(key, lev), (m,), dtype=jnp.float64
+        )
+        tot = pa + pb
+        small = tot <= 1.0
+        # tot <= 1: winner absorbs the pair's mass, loser's prob drops to 0
+        take_a_small = u * jnp.maximum(tot, 1e-300) < pa
+        # tot > 1: one element is finalized selected, the other carries tot-1
+        sel_a_big = u * jnp.maximum(2.0 - tot, 1e-300) < (1.0 - pb)
+        new_p = jnp.where(small, tot, tot - 1.0)
+        new_i = jnp.where(
+            small,
+            jnp.where(take_a_small, ia, ib),
+            jnp.where(sel_a_big, ib, ia),  # the non-selected one continues
+        )
+        fin = jnp.where(
+            small, jnp.int32(n), jnp.where(sel_a_big, ia, ib)
+        )
+        sel = sel.at[fin].set(True, mode="drop")
+        pr, idx = new_p, new_i
+
+    # final residual survives with its leftover probability
+    u_last = jax.random.uniform(jax.random.fold_in(key, levels), dtype=jnp.float64)
+    sel = sel.at[jnp.where(u_last < pr[0], idx[0], n)].set(True, mode="drop")
+    return sel
+
+
+def piv_comp_shard(key, vals: jax.Array, keep: jax.Array, n_budget, loc_norm):
+    """Pivotal resampling of one shard's non-preserved elements against its
+    own budget (the per-rank stage of piv_comp_parallel,
+    compress_utils.cpp:354-387).
+
+    Elements whose magnitude reaches the local unit loc_norm/n_budget are
+    preserved exactly first - this is the reference's ``adjust_probs``
+    magnitude capping (compress_utils.cpp:617-681) expressed as the
+    equivalent greedy-preserve rule (a capped element is selected with
+    probability 1 at its own value).  The remainder is tree-pivotal sampled.
+    """
+    dtype = vals.dtype
+    vals64 = vals.astype(jnp.float64)
+    stoch = jnp.where(keep, 0.0, jnp.abs(vals64))
+    # local capping fixpoint == adjust_probs (prob-1 elements kept exactly)
+    cap_keep, n_left, cap_norm = find_preserve(stoch, n_budget)
+    unit = jnp.where(n_left > 0, cap_norm / jnp.maximum(n_left, 1), jnp.inf)
+    p = jnp.where(cap_keep, 0.0, jnp.minimum(stoch / unit, 1.0))
+    selected = piv_select_tree(key, p)
+    out = jnp.where(
+        keep | cap_keep,
+        vals64,
+        jnp.where(selected & (n_left > 0), jnp.sign(vals64) * unit, 0.0),
+    )
+    return out.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def piv_comp(key, vals: jax.Array, n_samp, axis_name: str | None = None):
+    """Full pivotal vector compression: global find_preserve, per-shard
+    pivotal budgets, adjust_probs capping, tree-pivotal resampling
+    (reference piv_comp_parallel, compress_utils.cpp:354-387).
+
+    ``key`` must be identical on all shards (the reference scatters budgets
+    from rank 0; here every shard derives the same budget split from the
+    gathered norms)."""
+    keep, n_left, loc_norm = find_preserve(
+        jnp.abs(vals), n_samp, axis_name=axis_name
+    )
+    if axis_name:
+        shard_norms = lax.all_gather(loc_norm, axis_name)
+        budgets = piv_budget(jax.random.fold_in(key, 1), shard_norms, n_left)
+        my_budget = budgets[lax.axis_index(axis_name)]
+        shard_key = jax.random.fold_in(
+            jax.random.fold_in(key, 2), lax.axis_index(axis_name)
+        )
+    else:
+        my_budget = n_left
+        shard_key = key
+    return piv_comp_shard(shard_key, vals, keep, my_budget, loc_norm)
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def multi_comp(key, vals: jax.Array, keep: jax.Array, n_samp, loc_norm,
+               axis_name: str | None = None):
+    """Multinomial compression of the non-preserved elements: counts ~
+    Multinomial(n_samp, |v|/norm), value = sign * unit * count (reference
+    compress_vecs_multi's two-level alias sampling, vec_utils.cpp:73-127).
+
+    TPU-native: the alias tables become a searchsorted of n_samp uniform
+    draws against the cumulative weight (exact multinomial); the two-level
+    rank/element split becomes the shard-prefix offset.
+    """
+    dtype = vals.dtype
+    vals64 = vals.astype(jnp.float64)
+    absw = jnp.where(~keep, jnp.abs(vals64), 0.0)
+    glob_norm = _gsum(loc_norm, axis_name)
+    lbound = _prefix_sum_over_shards(loc_norm, axis_name)
+    n_samp = jnp.asarray(n_samp, jnp.int32)
+    unit = jnp.where(n_samp > 0, glob_norm / jnp.maximum(n_samp, 1), jnp.inf)
+
+    cum = lbound + jnp.cumsum(absw)  # inclusive prefix within shard
+    # same key on every shard -> same global draws; each shard counts the
+    # draws landing in its own interval.  The draw count must be static: draw
+    # len(vals) uniforms and mask those beyond n_samp (every driver satisfies
+    # budget <= vector capacity).
+    u = jax.random.uniform(key, (vals.shape[0],), dtype=jnp.float64)
+    # mask draws beyond the budget BEFORE sorting (masking after would keep
+    # the smallest uniforms - a low-position bias)
+    live_draw = jnp.arange(vals.shape[0]) < n_samp
+    draws = jnp.sort(jnp.where(live_draw, u, jnp.inf)) * glob_norm
+    pos = jnp.searchsorted(cum, draws, side="left")
+    counts = jnp.zeros((vals.shape[0],), jnp.int32).at[pos].add(
+        1, mode="drop"
+    )
+    sampled = jnp.sign(vals64) * unit * counts.astype(jnp.float64)
+    out = jnp.where(keep, vals64, jnp.where(n_samp > 0, sampled, 0.0))
+    return out.astype(dtype)
+
+
 def piv_budget(key, shard_norms: jax.Array, n_samp):
     """Integer per-shard budgets from shard norms with pivotal remainders.
 
@@ -326,7 +540,10 @@ def piv_budget(key, shard_norms: jax.Array, n_samp):
 # reference find_keep_sub/sys_sub/comp_sub, compress_utils.cpp:130-276,702-820
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("out_size", "axis_name", "max_rounds"))
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "axis_name", "max_rounds", "emit_chunk"),
+)
 def comp_sub(
     values: jax.Array,
     ndiv: jax.Array,
@@ -337,6 +554,7 @@ def comp_sub(
     out_size: int,
     axis_name: str | None = None,
     max_rounds: int = 64,
+    emit_chunk: int = 0,
 ):
     """One level of hierarchical compression.
 
@@ -351,41 +569,61 @@ def comp_sub(
       values:      (N,) parent weights (>= 0; 0 = inactive parent).
       ndiv:        (N,) int32 uniform-subdivision counts (0 = weighted).
       sub_weights: (N, K) probability rows, each summing to 1 over sub_mask.
+                   May be float32: per-sub masses are then held in f32 (halves
+                   the dominant stage bandwidth; norms/grid stay f64).
       sub_mask:    (N, K) bool validity of weighted subs.
       n_samp:      total (global) sample budget.
       rn:          shared uniform in [0, 1) (identical on all shards).
       out_size:    static output capacity M.
+      emit_chunk:  chunk the output-slot inversion over slots via lax.map
+                   (bounds the (chunk, K) emission temporaries; 0 = one pass).
 
     Returns (out_vals (M,), out_parent (M,) int32, out_sub (M,) int32,
     n_out (int32 count of valid slots), overflowed (bool)).
     """
     n, k = sub_weights.shape
     values = values.astype(jnp.float64)
-    sub_weights = sub_weights.astype(jnp.float64)
+    cdtype = sub_weights.dtype if sub_weights.dtype == jnp.float32 else jnp.float64
     n_samp = jnp.asarray(n_samp, jnp.int32)
 
     uniform = (ndiv > 0) & (values > 0)
     weighted = (ndiv == 0) & (values > 0)
-    # per-sub masses for weighted parents
-    w_sub = jnp.where(weighted[:, None] & sub_mask, values[:, None] * sub_weights, 0.0)
+    # per-sub masses for weighted parents (held in the sub_weights dtype)
+    w_sub = jnp.where(
+        weighted[:, None] & sub_mask,
+        values.astype(cdtype)[:, None] * sub_weights.astype(cdtype),
+        jnp.asarray(0.0, cdtype),
+    )
     w_uni = jnp.where(uniform, values, 0.0)
     ndiv_f = jnp.maximum(ndiv, 1).astype(jnp.float64)
     # scale-relative floor for sub-weight preservation (the reference gates on
     # the *global* residual norm, compress_utils.cpp:93-96; an absolute floor
     # would change behavior for small-norm vectors)
-    tot_norm0 = _gsum(jnp.sum(w_sub) + jnp.sum(w_uni), axis_name)
-    w_floor = 1e-14 * tot_norm0
+    tot_norm0 = _gsum(
+        jnp.sum(w_sub, dtype=jnp.float64) + jnp.sum(w_uni), axis_name
+    )
+    w_floor = jnp.asarray(1e-14 * tot_norm0, cdtype)
 
-    # ---- preservation fixpoint (reference find_keep_sub) ----
+    # ---- preservation: seeded threshold fixpoint (reference find_keep_sub) --
+    t_est = _preserve_threshold_seed(
+        [
+            (w_sub, w_sub, None),
+            (w_uni / ndiv_f, w_uni, ndiv_f),
+        ],
+        n_samp, tot_norm0, axis_name,
+    )
+
     def cond(state):
         _, _, n_added, rounds = state
         return (n_added > 0) & (rounds < max_rounds)
 
     def body(state):
         keep_sub, keep_uni, _, rounds = state
-        rem_sub = jnp.where(keep_sub, 0.0, w_sub)
-        rem_uni = jnp.where(keep_uni, 0.0, w_uni)
-        loc_norm = jnp.sum(rem_sub) + jnp.sum(rem_uni)
+        loc_norm = (
+            jnp.sum(jnp.where(keep_sub, jnp.asarray(0.0, cdtype), w_sub),
+                    dtype=jnp.float64)
+            + jnp.sum(jnp.where(keep_uni, 0.0, w_uni))
+        )
         glob_norm = _gsum(loc_norm, axis_name)
         kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
             jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
@@ -403,15 +641,18 @@ def comp_sub(
         )
         return new_keep_sub, new_keep_uni, n_added, rounds + 1
 
-    keep_sub0 = jnp.zeros((n, k), jnp.bool_)
-    keep_uni0 = jnp.zeros((n,), jnp.bool_)
+    keep_sub0 = (w_sub > w_floor) & (w_sub >= t_est)
+    keep_uni0 = (w_uni > 0) & (w_uni / ndiv_f >= t_est)
     keep_sub, keep_uni, _, _ = lax.while_loop(
         cond, body, (keep_sub0, keep_uni0, jnp.int32(1), jnp.int32(0))
     )
 
-    rem_sub = jnp.where(keep_sub, 0.0, w_sub)
     rem_uni = jnp.where(keep_uni, 0.0, w_uni)
-    loc_norm = jnp.sum(rem_sub) + jnp.sum(rem_uni)
+    loc_norm = (
+        jnp.sum(jnp.where(keep_sub, jnp.asarray(0.0, cdtype), w_sub),
+                dtype=jnp.float64)
+        + jnp.sum(rem_uni)
+    )
     glob_norm = _gsum(loc_norm, axis_name)
     kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
         jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
@@ -424,7 +665,10 @@ def comp_sub(
 
     # ---- emission bookkeeping ----
     # per-parent non-kept mass; cumulative in parent-major order across shards
-    parent_rem = jnp.sum(rem_sub, axis=1) + rem_uni  # (N,)
+    parent_rem = jnp.sum(
+        jnp.where(keep_sub, jnp.asarray(0.0, cdtype), w_sub),
+        axis=1, dtype=jnp.float64,
+    ) + rem_uni  # (N,)
     shard_lbound = _prefix_sum_over_shards(loc_norm, axis_name)
     cum_parent = shard_lbound + jnp.cumsum(parent_rem) - parent_rem  # exclusive
 
@@ -440,70 +684,85 @@ def comp_sub(
     total = jnp.sum(counts)
     overflow = total > out_size
 
-    # per-row exclusive cumsum of non-kept sub masses (for grid-hit sub lookup)
-    row_cum = jnp.cumsum(rem_sub, axis=1) - rem_sub
+    # ---- output-slot inversion (optionally chunked over slots) ----
+    col_ids = jnp.arange(k, dtype=jnp.int32)
 
-    # ---- output-slot inversion ----
-    slot = jnp.arange(out_size, dtype=jnp.int32)
-    valid = slot < total
-    # parent of each slot: searchsorted on offsets (find last offset <= slot)
-    parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
-    parent = jnp.clip(parent, 0, n - 1)
-    r = slot - offsets[parent]
-    is_kept_emit = r < kept_counts[parent]
-    p_uniform = uniform[parent]
+    def emit(slot):
+        valid = slot < total
+        # parent of each slot: searchsorted on offsets (last offset <= slot)
+        parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+        parent = jnp.clip(parent, 0, n - 1)
+        r = slot - offsets[parent]
+        is_kept_emit = r < kept_counts[parent]
+        p_uniform = uniform[parent]
 
-    # kept emissions: column of the r-th kept sub in the parent's row
-    # (fused rank compare instead of a scatter-built inverse map)
-    keep_rows = keep_sub[parent]                     # (M, K)
-    kept_rank_rows = jnp.cumsum(keep_rows.astype(jnp.int32), axis=1) - 1
-    kept_hit = keep_rows & (kept_rank_rows == r[:, None])
-    kept_col = jnp.sum(
-        jnp.where(kept_hit, jnp.arange(k, dtype=jnp.int32), 0), axis=1
-    )
-    kept_sub_idx = jnp.where(p_uniform, r, kept_col)
-    kept_val = jnp.where(
-        p_uniform,
-        values[parent] / ndiv_f[parent],
-        w_sub[parent, jnp.clip(kept_sub_idx, 0, k - 1)],
-    )
+        w_rows = w_sub[parent]                          # (M', K) cdtype
+        keep_rows = keep_sub[parent]                    # (M', K)
+        rem_rows_v = jnp.where(keep_rows, jnp.asarray(0.0, cdtype), w_rows)
 
-    # grid-hit emissions
-    g = g_start[parent] + (r - kept_counts[parent]).astype(jnp.int64)
-    x = (rn + g.astype(jnp.float64)) * unit  # grid point position
-    y = x - cum_parent[parent]  # offset into parent's non-kept mass
-    # uniform parent: sub index from uniform split of parent mass
-    uni_sub = jnp.clip(
-        jnp.floor(y / jnp.maximum(parent_rem[parent], 1e-300) * ndiv_f[parent]),
-        0,
-        ndiv_f[parent] - 1,
-    ).astype(jnp.int32)
-    # weighted parent: first non-kept sub whose cumulative exceeds y
-    y_col = y[:, None]
-    wt_sub = (
-        jnp.sum(
-            ((row_cum[parent] + rem_sub[parent]) <= y_col) & (rem_sub[parent] > 0),
-            axis=1,
-            dtype=jnp.int32,
+        # kept emissions: column of the r-th kept sub in the parent's row
+        # (fused rank compare instead of a scatter-built inverse map)
+        kept_rank_rows = jnp.cumsum(keep_rows.astype(jnp.int32), axis=1) - 1
+        kept_hit = keep_rows & (kept_rank_rows == r[:, None])
+        kept_col = jnp.sum(jnp.where(kept_hit, col_ids, 0), axis=1)
+        kept_sub_idx = jnp.where(p_uniform, r, kept_col)
+        kept_val = jnp.where(
+            p_uniform,
+            values[parent] / ndiv_f[parent],
+            jnp.take_along_axis(
+                w_rows, jnp.clip(kept_sub_idx, 0, k - 1)[:, None], axis=1
+            )[:, 0].astype(jnp.float64),
         )
-    )
-    # map count of exhausted subs to the actual column index of the next
-    # non-kept sub (fused rank compare)
-    rem_rows = rem_sub[parent] > 0                   # (M, K)
-    nonkept_rank_rows = jnp.cumsum(rem_rows.astype(jnp.int32), axis=1) - 1
-    nk_hit = rem_rows & (nonkept_rank_rows == wt_sub[:, None])
-    wt_sub_col = jnp.sum(
-        jnp.where(nk_hit, jnp.arange(k, dtype=jnp.int32), 0), axis=1
-    )
 
-    grid_sub_idx = jnp.where(p_uniform, uni_sub, wt_sub_col)
-    grid_val = unit
+        # grid-hit emissions
+        g = g_start[parent] + (r - kept_counts[parent]).astype(jnp.int64)
+        x = (rn + g.astype(jnp.float64)) * unit  # grid point position
+        y = x - cum_parent[parent]  # offset into parent's non-kept mass
+        # uniform parent: sub index from uniform split of parent mass
+        uni_sub = jnp.clip(
+            jnp.floor(y / jnp.maximum(parent_rem[parent], 1e-300) * ndiv_f[parent]),
+            0,
+            ndiv_f[parent] - 1,
+        ).astype(jnp.int32)
+        # weighted parent: first non-kept sub whose cumulative exceeds y;
+        # the within-row exclusive cumsum is recomputed per chunk in f64
+        rem_rows = rem_rows_v > 0
+        row_cum_incl = jnp.cumsum(rem_rows_v.astype(jnp.float64), axis=1)
+        wt_sub = jnp.sum(
+            (row_cum_incl <= y[:, None]) & rem_rows, axis=1, dtype=jnp.int32
+        )
+        # clamp to the last non-kept sub: protects the boundary case where the
+        # row cumsum rounds below the f64 parent mass used for grid counting
+        wt_sub = jnp.minimum(
+            wt_sub,
+            jnp.maximum(jnp.sum(rem_rows, axis=1, dtype=jnp.int32) - 1, 0),
+        )
+        # map count of exhausted subs to the actual column index of the next
+        # non-kept sub (fused rank compare)
+        nonkept_rank_rows = jnp.cumsum(rem_rows.astype(jnp.int32), axis=1) - 1
+        nk_hit = rem_rows & (nonkept_rank_rows == wt_sub[:, None])
+        wt_sub_col = jnp.sum(jnp.where(nk_hit, col_ids, 0), axis=1)
 
-    out_sub = jnp.where(is_kept_emit, kept_sub_idx, grid_sub_idx)
-    out_val = jnp.where(is_kept_emit, kept_val, grid_val)
-    out_val = jnp.where(valid, out_val, 0.0)
-    out_parent = jnp.where(valid, parent, -1)
-    out_sub = jnp.where(valid, out_sub, -1)
+        grid_sub_idx = jnp.where(p_uniform, uni_sub, wt_sub_col)
+
+        out_sub = jnp.where(is_kept_emit, kept_sub_idx, grid_sub_idx)
+        out_val = jnp.where(is_kept_emit, kept_val, unit)
+        out_val = jnp.where(valid, out_val, 0.0)
+        out_parent = jnp.where(valid, parent, -1)
+        out_sub = jnp.where(valid, out_sub, -1)
+        return out_val, out_parent, out_sub
+
+    if emit_chunk and emit_chunk < out_size:
+        n_chunks = -(-out_size // emit_chunk)
+        slots = jnp.arange(n_chunks * emit_chunk, dtype=jnp.int32).reshape(
+            n_chunks, emit_chunk
+        )
+        out_val, out_parent, out_sub = lax.map(emit, slots)
+        out_val = out_val.reshape(-1)[:out_size]
+        out_parent = out_parent.reshape(-1)[:out_size]
+        out_sub = out_sub.reshape(-1)[:out_size]
+    else:
+        out_val, out_parent, out_sub = emit(jnp.arange(out_size, dtype=jnp.int32))
     return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
 
 

@@ -49,6 +49,11 @@ class FrisysConfig:
     shift_interval: int = 10
     shift_damping: float = 0.05
     unnorm: bool = False    # HB_unnorm distribution variant
+    stage_f32: bool = True  # hold comp_sub probability rows in f32 (halves
+                            # the dominant (S, K) stage bandwidth; norms, grid
+                            # positions, values and estimators stay f64)
+    emit_chunk: int = 0     # chunk comp_sub's output-slot inversion (bounds
+                            # the (chunk, K) emission temporaries at 1e6+ S)
     axis_name: str | None = None
     n_shards: int = 1
     exchange_cap: int = 0
@@ -103,6 +108,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         m_samp = m_samp - int(determ["n_elements"])
         assert m_samp > 0, "matr_samp must exceed the dense H element count"
     unnorm = cfg.unnorm
+    _sw = (lambda w: w.astype(jnp.float32)) if cfg.stage_f32 else (lambda w: w)
+    _ck = dict(axis_name=cfg.axis_name, emit_chunk=cfg.emit_chunk)
 
     def spawn(keys, occ, vals, h_fac, key, thresh=None):
         # ``thresh`` (optional, traced scalar) overrides the static initiator
@@ -125,8 +132,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
         maskA = jnp.ones((c, 2), bool)
         val, parent, sub, _, ovf = compress.comp_sub(
-            absv, ndiv, subw, maskA, m_samp, rns[0], s_cap,
-            axis_name=cfg.axis_name,
+            absv, ndiv, _sw(subw), maskA, m_samp, rns[0], s_cap, **_ck,
         )
         overflow |= ovf
         det_idx = jnp.where(parent >= 0, parent, 0)
@@ -162,8 +168,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
         maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valB_in, ndivB, jnp.where(maskB, probsB, 0.0), maskB, m_samp, rns[1], s_cap,
-            axis_name=cfg.axis_name,
+            valB_in, ndivB, _sw(jnp.where(maskB, probsB, 0.0)), maskB,
+            m_samp, rns[1], s_cap, **_ck,
         )
         overflow |= ovf
         live = parent >= 0
@@ -196,8 +202,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
         maskC = is_doub[:, None] & (probsC > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valC_in, ndivC, jnp.where(maskC, probsC, 0.0), maskC, m_samp, rns[2], s_cap,
-            axis_name=cfg.axis_name,
+            valC_in, ndivC, _sw(jnp.where(maskC, probsC, 0.0)), maskC,
+            m_samp, rns[2], s_cap, **_ck,
         )
         overflow |= ovf
         live = parent >= 0
@@ -226,8 +232,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
         maskD = is_doub[:, None] & (probsD > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valD_in, ndivD, jnp.where(maskD, probsD, 0.0), maskD, m_samp, rns[3], s_cap,
-            axis_name=cfg.axis_name,
+            valD_in, ndivD, _sw(jnp.where(maskD, probsD, 0.0)), maskD,
+            m_samp, rns[3], s_cap, **_ck,
         )
         overflow |= ovf
         live = parent >= 0
@@ -266,8 +272,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         valE_in = jnp.where(is_doub & (rowsumE <= 0), 0.0, val)
         maskE = is_doub[:, None] & (probsE > 0)
         val, parent, sub, _, ovf = compress.comp_sub(
-            valE_in, ndivE, jnp.where(maskE, probsE, 0.0), maskE, m_samp, rns[4], s_cap,
-            axis_name=cfg.axis_name,
+            valE_in, ndivE, _sw(jnp.where(maskE, probsE, 0.0)), maskE,
+            m_samp, rns[4], s_cap, **_ck,
         )
         overflow |= ovf
         live = parent >= 0

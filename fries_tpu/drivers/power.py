@@ -150,16 +150,32 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
         new_v = jnp.where(a2.valid, new_v, 0.0)
 
         a2v = ar.set_row(a2, 0, new_v)
+        # one fused lookup serves the estimator dots AND the protected-subspace
+        # mask: the static query sets are concatenated so the merged arena is
+        # searched once per step instead of once per query set
+        n_num = num_keys.shape[0]
+        n_den = den_keys.shape[0]
+        if protected_keys is not None:
+            queries = jnp.concatenate([num_keys, den_keys, protected_keys])
+        else:
+            queries = jnp.concatenate([num_keys, den_keys])
+        qpos, qfound = ar.lookup(a2, queries)
+        gathered = jnp.where(qfound, new_v[qpos], 0.0)
+        den_after = gsum(
+            jnp.sum(gathered[n_num : n_num + n_den] * den_vals.astype(jnp.float64))
+        )
         if estimator == "before_after":
-            num_after = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
-            proj_num = ((1 + eps * state.en_shift) * den_before - num_after) / eps
+            proj_num = ((1 + eps * state.en_shift) * den_before - den_after) / eps
             proj_den = den_before
         else:
-            proj_num = gsum(ar.dot(a2v, num_keys, num_vals, row=0))
-            proj_den = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
+            proj_num = gsum(
+                jnp.sum(gathered[:n_num] * num_vals.astype(jnp.float64))
+            )
+            proj_den = den_after
 
         if protected_keys is not None:
-            ppos, pfound = ar.lookup(a2, protected_keys)
+            ppos = qpos[n_num + n_den :]
+            pfound = qfound[n_num + n_den :]
             prot = jnp.zeros((a2.capacity,), jnp.bool_).at[
                 jnp.where(pfound, ppos, a2.capacity)
             ].set(True, mode="drop")

@@ -90,8 +90,13 @@ def make(capacity: int, n_words: int, n_vecs: int, n_elec: int,
 
 
 def _sort_perm(keys: jax.Array) -> jax.Array:
-    """Permutation sorting rows of ``keys`` lexicographically (stable)."""
+    """Permutation sorting rows of ``keys`` lexicographically (stable).
+
+    Packed-int64 fast path (one sort operand) when the determinant fits."""
     n = keys.shape[0]
+    if dets.packable(keys.shape[1]):
+        operands = [dets.pack_key(keys), jnp.arange(n, dtype=jnp.int32)]
+        return lax.sort(operands, num_keys=1, is_stable=True)[-1]
     operands = dets.sort_key_columns(keys) + [jnp.arange(n, dtype=jnp.int32)]
     sorted_ops = lax.sort(operands, num_keys=keys.shape[1], is_stable=True)
     return sorted_ops[-1]
@@ -495,7 +500,14 @@ def accumulate(
     udiag = jnp.zeros((s,), jnp.float64).at[upos].set(sdiag, mode="drop")
 
     # ---- 2. arena lookup: does each unique key exist with nonzero origin? --
-    apos, found = dets.lookup_dets(arena.keys, ukeys)
+    # (raw insertion position doubles as a_less below - one search, two uses)
+    raw_pos = dets.searchsorted_dets(arena.keys, ukeys)
+    apos = jnp.clip(raw_pos, 0, c - 1)
+    found = (
+        dets.det_eq(arena.keys[apos], ukeys)
+        & (raw_pos < c)
+        & ~dets.is_invalid(ukeys)
+    )
     found = found & arena.valid[apos]
     occupied = found & (arena.vals[origin_row][apos] != 0)
 
@@ -531,8 +543,7 @@ def accumulate(
     )
 
     # new unique key j goes to (# valid arena keys < key_j) + rank among new
-    a_less = dets.searchsorted_dets(arena.keys, ukeys)
-    uniq_dest = jnp.where(is_new, a_less + new_rank, c)
+    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c)
 
     out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
     out_keys = out_keys.at[arena_dest].set(arena.keys, mode="drop")

@@ -323,3 +323,65 @@ def test_piv_budget_sums_to_n_samp(rng):
     ])
     frac = many.mean(0) / 100
     np.testing.assert_allclose(frac, np.asarray(norms) / float(jnp.sum(norms)), atol=0.01)
+
+
+def test_piv_select_tree_unbiased_and_count(rng):
+    """Tree-pivotal selection: E[sel_i] = p_i, count in {floor, ceil}(sum p)."""
+    n = 37
+    p = rng.random(n) * 0.6
+    p[rng.random(n) < 0.2] = 0.0
+    pj = jnp.asarray(p)
+    keys = jax.random.split(jax.random.key(11), 4000)
+    sels = jax.jit(jax.vmap(lambda k: compress.piv_select_tree(k, pj)))(keys)
+    sels = np.asarray(sels)
+    tot = p.sum()
+    counts = sels.sum(1)
+    assert np.all((counts == np.floor(tot)) | (counts == np.ceil(tot)))
+    mean = sels.mean(0)
+    assert np.abs(mean - p).max() < 5 / np.sqrt(4000)
+
+
+def test_piv_comp_full_pipeline_unbiased(rng):
+    """piv_comp (find_preserve + capping + tree pivotal) is unbiased and
+    respects the budget (reference piv_comp_parallel semantics)."""
+    n = 50
+    vals = rng.standard_normal(n)
+    vals[rng.random(n) < 0.3] = 0.0
+    n_samp = 14
+    vj = jnp.asarray(vals)
+    keys = jax.random.split(jax.random.key(13), 3000)
+    outs = np.asarray(
+        jax.jit(jax.vmap(lambda k: compress.piv_comp(k, vj, n_samp)))(keys)
+    )
+    nonz = (outs != 0).sum(1)
+    assert np.all(nonz <= n_samp + 1)
+    mean = outs.mean(0)
+    assert np.abs(mean - vals).max() < 0.15
+
+
+def test_piv_comp_identity_when_budget_large(rng):
+    vals = rng.standard_normal(20)
+    out = compress.piv_comp(jax.random.key(0), jnp.asarray(vals), 1000)
+    np.testing.assert_allclose(np.asarray(out), vals, rtol=1e-12)
+
+
+def test_multi_comp_unbiased(rng):
+    """Multinomial compression (compress_vecs_multi, vec_utils.cpp:73-127):
+    counts ~ Multinomial(n_samp, |v|/norm), E[out] = in."""
+    n = 40
+    vals = rng.standard_normal(n)
+    n_samp = 12
+    vj = jnp.asarray(vals)
+    keep, left, loc_norm = compress.find_preserve(jnp.abs(vj), n_samp)
+    keys = jax.random.split(jax.random.key(17), 3000)
+    outs = np.asarray(
+        jax.jit(
+            jax.vmap(lambda k: compress.multi_comp(k, vj, keep, left, loc_norm))
+        )(keys)
+    )
+    # total sampled count == budget in every realization
+    unit = float(loc_norm) / int(left)
+    counts = np.abs(outs[:, ~np.asarray(keep)]).sum(1) / unit
+    np.testing.assert_allclose(counts, int(left), atol=1e-6)
+    mean = outs.mean(0)
+    assert np.abs(mean - vals).max() < 5 * unit / np.sqrt(3000)

@@ -64,11 +64,19 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
     tens = hb.setup(ham)
     p_doub = frisys.hf_p_doub(ham, syminfo)
 
+    # stage_f32=False: this test asserts f64-exact reconstruction; the f32
+    # production default rounds kept stage values at ~1e-7 relative (checked
+    # separately below)
     cfg = frisys.FrisysConfig(
         eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
-        spawn_cap=1024, unnorm=unnorm,
+        spawn_cap=1024, unnorm=unnorm, stage_f32=False,
     )
     spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
+    cfg32 = frisys.FrisysConfig(
+        eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
+        spawn_cap=1024, unnorm=unnorm, stage_f32=True, emit_chunk=256,
+    )
+    spawn32 = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg32, e_ref=0.0)
 
     # a 3-determinant vector: HF + two excited dets
     hf_words, hf_occ, _ = mol.hf_reference(ham)
@@ -105,6 +113,18 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
         np.testing.assert_allclose(
             got.get(k, 0.0), want.get(k, 0.0), rtol=1e-8, atol=1e-12,
             err_msg=f"unnorm={unnorm} with_symm={with_symm} det={k:x}",
+        )
+
+    # f32 stage rows + chunked emission: same set of excitations, values
+    # within f32 rounding of exact
+    w32, amp32, _, _, _ = jax.jit(spawn32)(
+        a.keys, a.occ, avals, -cfg.eps, jax.random.key(0)
+    )
+    got32 = dense_spawn_map(ham, w32, amp32, 2 * n_orb)
+    for k in set(got32) | set(want):
+        np.testing.assert_allclose(
+            got32.get(k, 0.0), want.get(k, 0.0), rtol=3e-6, atol=1e-10,
+            err_msg=f"f32 unnorm={unnorm} with_symm={with_symm} det={k:x}",
         )
 
 
