@@ -43,6 +43,28 @@ def _gsum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name else x
 
 
+def row_cumsum(x: jax.Array, exclusive: bool = False) -> jax.Array:
+    """Cumulative sum along the last (short) axis via a triangular-ones
+    matmul.
+
+    TPU prefix sums along the lane (minor) axis lower to slow sequential
+    code (measured ~100 ms for a (7e5, 56) cumsum); a (K, K) matmul runs on
+    the MXU in one pass.  Accumulates in f32 - exact for rank counts and
+    ample for normalized sub-weight rows (K <= ~64).  Returns f32; cast at
+    the call site.
+    """
+    k = x.shape[-1]
+    tri = jnp.asarray(
+        np.triu(np.ones((k, k), np.float32), 1 if exclusive else 0)
+    )
+    return lax.dot_general(
+        x.astype(jnp.float32),
+        tri,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _prefix_sum_over_shards(local: jax.Array, axis_name):
     """Sum of ``local`` over shards with lower axis index (0 on one shard)."""
     if not axis_name:
@@ -91,7 +113,7 @@ def stochastic_round(key: jax.Array, p: jax.Array) -> jax.Array:
 # the dominant kernel-dispatch cost at production sizes.
 # ---------------------------------------------------------------------------
 
-_SEED_EDGES = 40
+_SEED_EDGES = 20
 
 
 def _preserve_threshold_seed(parts, n_samp, tot_mass, axis_name):
@@ -105,7 +127,7 @@ def _preserve_threshold_seed(parts, n_samp, tot_mass, axis_name):
     nb = _SEED_EDGES
     n_sampf = jnp.maximum(n_samp, 1).astype(jnp.float64)
     t0 = tot_mass / n_sampf
-    edges = t0 * jnp.exp2(-jnp.arange(nb, dtype=jnp.float64))  # descending
+    edges = t0 * jnp.exp2(-2.0 * jnp.arange(nb, dtype=jnp.float64))  # 4x-spaced
 
     mass_above = jnp.zeros((nb,), jnp.float64)
     cost_above = jnp.zeros((nb,), jnp.float64)
@@ -136,7 +158,7 @@ def _preserve_threshold_seed(parts, n_samp, tot_mass, axis_name):
     b_last = jnp.sum(prefix_ok, dtype=jnp.int32) - 1
     t_est = jnp.where(
         b_last >= 0,
-        t0 * jnp.exp2(-jnp.maximum(b_last - 1, 0).astype(jnp.float64)),
+        t0 * jnp.exp2(-2.0 * jnp.maximum(b_last - 1, 0).astype(jnp.float64)),
         jnp.inf,
     )
     return jnp.where(tot_mass > 0, t_est, jnp.inf)
@@ -702,7 +724,7 @@ def comp_sub(
 
         # kept emissions: column of the r-th kept sub in the parent's row
         # (fused rank compare instead of a scatter-built inverse map)
-        kept_rank_rows = jnp.cumsum(keep_rows.astype(jnp.int32), axis=1) - 1
+        kept_rank_rows = row_cumsum(keep_rows).astype(jnp.int32) - 1
         kept_hit = keep_rows & (kept_rank_rows == r[:, None])
         kept_col = jnp.sum(jnp.where(kept_hit, col_ids, 0), axis=1)
         kept_sub_idx = jnp.where(p_uniform, r, kept_col)
@@ -727,7 +749,7 @@ def comp_sub(
         # weighted parent: first non-kept sub whose cumulative exceeds y;
         # the within-row exclusive cumsum is recomputed per chunk in f64
         rem_rows = rem_rows_v > 0
-        row_cum_incl = jnp.cumsum(rem_rows_v.astype(jnp.float64), axis=1)
+        row_cum_incl = row_cumsum(rem_rows_v).astype(jnp.float64)
         wt_sub = jnp.sum(
             (row_cum_incl <= y[:, None]) & rem_rows, axis=1, dtype=jnp.int32
         )
@@ -739,7 +761,7 @@ def comp_sub(
         )
         # map count of exhausted subs to the actual column index of the next
         # non-kept sub (fused rank compare)
-        nonkept_rank_rows = jnp.cumsum(rem_rows.astype(jnp.int32), axis=1) - 1
+        nonkept_rank_rows = row_cumsum(rem_rows).astype(jnp.int32) - 1
         nk_hit = rem_rows & (nonkept_rank_rows == wt_sub[:, None])
         wt_sub_col = jnp.sum(jnp.where(nk_hit, col_ids, 0), axis=1)
 
@@ -841,6 +863,7 @@ def sample_categorical_rows(key, probs: jax.Array, valid: jax.Array | None = Non
     if valid is not None:
         p = jnp.where(valid, p, 0.0)
     tot = jnp.sum(p, axis=-1, keepdims=True)
-    cum = jnp.cumsum(p, axis=-1)
+    cum = row_cumsum(p).astype(jnp.float64)
     u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=jnp.float64) * tot
-    return jnp.sum((cum <= u).astype(jnp.int32), axis=-1)
+    idx = jnp.sum((cum <= u).astype(jnp.int32), axis=-1)
+    return jnp.minimum(idx, probs.shape[-1] - 1)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from fries_tpu import kernels
+
 WORD_BITS = 32
 UINT32_MAX = np.uint32(0xFFFFFFFF)
 
@@ -53,10 +55,20 @@ def pack_bits(bits: jax.Array, num_words: int | None = None) -> jax.Array:
 
 
 def unpack_bits(words: jax.Array, n_bits: int) -> jax.Array:
-    """Unpack uint32 words ``(..., W)`` into a boolean tensor ``(..., n_bits)``."""
-    expanded = (words[..., :, None] >> jnp.arange(WORD_BITS, dtype=jnp.uint32)) & 1
-    flat = expanded.reshape(words.shape[:-1] + (words.shape[-1] * WORD_BITS,))
-    return flat[..., :n_bits].astype(jnp.bool_)
+    """Unpack uint32 words ``(..., W)`` into a boolean tensor ``(..., n_bits)``.
+
+    Column-wise word select + shift, fully fused elementwise - the naive
+    (..., W, 32) expand + reshape forces a lane relayout that measured
+    ~250 ms at 7e5 rows on TPU v5e."""
+    w = words.shape[-1]
+    bit = np.arange(n_bits)
+    shift = jnp.asarray(bit % WORD_BITS, jnp.uint32)
+    word_idx = bit // WORD_BITS  # static per output column
+    sel = jnp.zeros(words.shape[:-1] + (n_bits,), jnp.uint32)
+    for j in range(w):
+        col = jnp.asarray(word_idx == j)
+        sel = jnp.where(col, words[..., j : j + 1], sel)
+    return ((sel >> shift) & 1).astype(jnp.bool_)
 
 
 # ---------------------------------------------------------------------------
@@ -171,18 +183,10 @@ def occ_list_from_bits(bits: jax.Array, n_elec: int) -> jax.Array:
     (an out-of-range marker).
     """
     n_bits = bits.shape[-1]
-    batch_shape = bits.shape[:-1]
-    rank = jnp.cumsum(bits.astype(jnp.int32), axis=-1) - 1
-    target = jnp.where(bits, rank, n_elec)  # n_elec == out-of-bounds -> dropped
-    flat_bits = target.reshape(-1, n_bits)
-    out = jnp.full((flat_bits.shape[0], n_elec + 1), n_bits, dtype=jnp.int32)
     positions = jnp.broadcast_to(
-        jnp.arange(n_bits, dtype=jnp.int32), flat_bits.shape
+        jnp.arange(n_bits, dtype=jnp.int32), bits.shape
     )
-    out = out.at[
-        jnp.arange(flat_bits.shape[0])[:, None], jnp.clip(flat_bits, 0, n_elec)
-    ].set(positions, mode="drop")
-    return out[:, :n_elec].reshape(batch_shape + (n_elec,))
+    return kernels.rank_place(positions, bits, n_elec, jnp.int32(n_bits))
 
 
 def occ_list(words: jax.Array, n_bits: int, n_elec: int) -> jax.Array:

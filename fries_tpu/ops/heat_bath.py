@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fries_tpu import dets
+from fries_tpu import dets, kernels
 from fries_tpu.ops import molecule as mol
 
 
@@ -101,7 +101,7 @@ def setup(ham: mol.MolecularHamiltonian) -> HeatBathTensors:
 def o1_probs(tens: HeatBathTensors, n_orb: int, occ):
     """(B, E) normalized first-occupied weights s_tens[occ] (calc_o1_probs,
     heat_bathPP.cpp:182-200)."""
-    w = tens.s_tens[occ % n_orb]
+    w = kernels.take_small(tens.s_tens, occ % n_orb)
     norm = jnp.sum(w, axis=-1, keepdims=True)
     return w / jnp.maximum(norm, 1e-300), norm[..., 0]
 
@@ -114,8 +114,10 @@ def o2_probs(tens: HeatBathTensors, n_orb: int, n_elec: int, occ, o1_idx):
     o1_spin = o1_orb // n_orb
     occ_spin = (jnp.arange(n_elec) >= half).astype(jnp.int32)
     same = occ_spin[None, :] == o1_spin[..., None]
-    w_same = tens.d_same[o1_orb[..., None] % n_orb, occ % n_orb]
-    w_diff = tens.d_diff[o1_orb[..., None] % n_orb, occ % n_orb]
+    occ_sp = occ % n_orb
+    o1_sp = o1_orb % n_orb
+    w_same = kernels.take2_small(tens.d_same, o1_sp, occ_sp)
+    w_diff = kernels.take2_small(tens.d_diff, o1_sp, occ_sp)
     w = jnp.where(same, w_same, w_diff)
     w = jnp.where(jnp.arange(n_elec)[None, :] == o1_idx[..., None], 0.0, w)
     norm = jnp.sum(w, axis=-1, keepdims=True)
@@ -131,7 +133,9 @@ def o2_probs_half(tens, n_orb, n_elec, occ, o1_idx):
     w = probs * jnp.where(below, 1.0, 0.0) * norm[..., None]
     new_norm = jnp.sum(w, axis=-1, keepdims=True)
     o1_orb = jnp.take_along_axis(occ, o1_idx[..., None], axis=-1)[..., 0]
-    frac = new_norm[..., 0] / jnp.maximum(tens.s_tens[o1_orb % n_orb], 1e-300)
+    frac = new_norm[..., 0] / jnp.maximum(
+        kernels.take_small(tens.s_tens, o1_orb % n_orb), 1e-300
+    )
     return w / jnp.maximum(new_norm, 1e-300), frac
 
 
@@ -144,15 +148,10 @@ def virtual_slots(n_orb: int, n_elec: int, occ_bits_spin):
     """
     n_virt = n_orb - n_elec // 2
     unocc = ~occ_bits_spin
-    rank = jnp.cumsum(unocc.astype(jnp.int32), axis=-1) - 1
-    b = occ_bits_spin.shape[0]
-    out = jnp.full((b, n_virt), n_orb, jnp.int32)
-    rows = jnp.arange(b)[:, None]
-    out = out.at[rows, jnp.where(unocc, rank, n_virt)].set(
-        jnp.broadcast_to(jnp.arange(n_orb, dtype=jnp.int32), (b, n_orb)),
-        mode="drop",
+    positions = jnp.broadcast_to(
+        jnp.arange(n_orb, dtype=jnp.int32), occ_bits_spin.shape
     )
-    return out
+    return kernels.rank_place(positions, unocc, n_virt, jnp.int32(n_orb))
 
 
 def u1_probs(tens: HeatBathTensors, n_orb, n_elec, occ_bits, o1_orb,
@@ -169,12 +168,19 @@ def u1_probs(tens: HeatBathTensors, n_orb, n_elec, occ_bits, o1_orb,
     )
     virts = virtual_slots(n_orb, n_elec, spin_bits)  # (B, n_virt)
     valid = virts < n_orb
-    w = jnp.where(valid, tens.exch_sqrt[o1_orb[:, None] % n_orb,
-                                        jnp.clip(virts, 0, n_orb - 1)], 0.0)
+    w = jnp.where(
+        valid,
+        kernels.take2_small(
+            tens.exch_sqrt, o1_orb % n_orb, jnp.clip(virts, 0, n_orb - 1)
+        ),
+        0.0,
+    )
     if exclude_first is not None:
         w = jnp.where(exclude_first[:, None] & (jnp.arange(w.shape[1]) == 0), 0.0, w)
     norm = jnp.sum(w, axis=-1, keepdims=True)
-    frac = norm[..., 0] / jnp.maximum(tens.exch_norms[o1_orb % n_orb], 1e-300)
+    frac = norm[..., 0] / jnp.maximum(
+        kernels.take_small(tens.exch_norms, o1_orb % n_orb), 1e-300
+    )
     return w / jnp.maximum(norm, 1e-300), frac, virts
 
 
@@ -192,12 +198,18 @@ def u2_probs(tens: HeatBathTensors, n_orb, symm, lookup, o1_orb, o2_orb,
     o2_sp = o2_orb % n_orb
     u1_sp = u1_orb % n_orb
     same_spin = (o1_orb // n_orb) == (o2_orb // n_orb)
-    g = symm[o1_orb % n_orb] ^ symm[o2_sp] ^ symm[u1_sp]
-    orb_row = lookup[g]  # (B, K) spatial, padded with n_orb
+    g = (
+        kernels.take_small(symm, o1_orb % n_orb)
+        ^ kernels.take_small(symm, o2_sp)
+        ^ kernels.take_small(symm, u1_sp)
+    )
+    orb_row = kernels.take_rows_small(lookup, g)  # (B, K) spatial, padded with n_orb
     valid = orb_row < n_orb
     w = jnp.where(
         valid,
-        tens.exch_sqrt[o2_sp[:, None], jnp.clip(orb_row, 0, n_orb - 1)],
+        kernels.take2_small(
+            tens.exch_sqrt, o2_sp, jnp.clip(orb_row, 0, n_orb - 1)
+        ),
         0.0,
     )
     w = jnp.where(same_spin[:, None] & (orb_row == u1_sp[:, None]), 0.0, w)
@@ -208,16 +220,20 @@ def u2_probs(tens: HeatBathTensors, n_orb, symm, lookup, o1_orb, o2_orb,
         w = jnp.where(occupied, 0.0, w)
         w = jnp.where(same_spin[:, None] & (orb_row >= u1_sp[:, None]), 0.0, w)
     norm = jnp.sum(w, axis=-1, keepdims=True)
-    frac = norm[..., 0] / jnp.maximum(tens.exch_norms[o2_sp], 1e-300)
+    frac = norm[..., 0] / jnp.maximum(
+        kernels.take_small(tens.exch_norms, o2_sp), 1e-300
+    )
     return w / jnp.maximum(norm, 1e-300), frac, orb_row
 
 
 def dets_read(occ_bits, pos, n_bits):
     """Read bit ``pos`` from unpacked occupancy bits (B, n_bits); positions
-    broadcast (B, K)."""
-    return jnp.take_along_axis(
-        occ_bits, jnp.clip(pos, 0, n_bits - 1), axis=-1
-    )
+    broadcast (B, K).  In-row one-hot reduce (take_along_axis on the lane
+    axis hits the scalar-gather path)."""
+    pos = jnp.clip(pos, 0, n_bits - 1)
+    return kernels.take_along_small(
+        occ_bits[..., None, :], pos
+    ).astype(jnp.bool_)
 
 
 # ---------------------------------------------------------------------------
@@ -229,18 +245,20 @@ def unnorm_weight(tens: HeatBathTensors, n_orb, o1, o2, u1, u2):
     orbitals with o1 < o2 (and u1 < u2 for same spin)."""
     same = (o1 // n_orb) == (o2 // n_orb)
     o1s, o2s, u1s, u2s = o1 % n_orb, o2 % n_orb, u1 % n_orb, u2 % n_orb
-    ex_o1u1 = tens.exch_sqrt[o1s, u1s]
-    ex_o2u2 = tens.exch_sqrt[o2s, u2s]
-    d_s = tens.d_same[o1s, o2s]
-    d_d = tens.d_diff[o2s, o1s]
+    rows1 = kernels.take_rows_small(tens.exch_sqrt, o1s)
+    rows2 = kernels.take_rows_small(tens.exch_sqrt, o2s)
+    ex_o1u1 = kernels.take_along_small(rows1, u1s)
+    ex_o2u2 = kernels.take_along_small(rows2, u2s)
+    d_s = kernels.take2_small(tens.d_same, o1s, o2s)
+    d_d = kernels.take2_small(tens.d_diff, o2s, o1s)
     base = jnp.where(same, d_s, d_d)
     return (
         base
         * ex_o1u1
         * ex_o2u2
         / tens.s_norm
-        / tens.exch_norms[o1s]
-        / tens.exch_norms[o2s]
+        / kernels.take_small(tens.exch_norms, o1s)
+        / kernels.take_small(tens.exch_norms, o2s)
     )
 
 
@@ -261,7 +279,7 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     occ_sp = occ % n_orb
     occ_spin = (jnp.arange(n_elec) >= half).astype(jnp.int32)[None, :]
 
-    s_denom = jnp.sum(tens.s_tens[occ_sp], axis=-1)
+    s_denom = jnp.sum(kernels.take_small(tens.s_tens, occ_sp), axis=-1)
 
     # stacked d-denominators and e-virt sums for o1 and o2 (one fused pass
     # instead of four separate gather/reduce chains - per-kernel dispatch
@@ -269,19 +287,22 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     o_sp2 = jnp.stack([o1s, o2s])              # (2, B)
     o_spin2 = jnp.stack([o1_spin, o2_spin])
     same_e2 = occ_spin[None] == o_spin2[..., None]      # (2, B, E)
-    w_same2 = tens.d_same[o_sp2[..., None], occ_sp[None]]
-    w_diff2 = tens.d_diff[o_sp2[..., None], occ_sp[None]]
+    occ_sp2 = jnp.broadcast_to(occ_sp[None], (2,) + occ_sp.shape)
+    w_same2 = kernels.take2_small(tens.d_same, o_sp2, occ_sp2)
+    w_diff2 = kernels.take2_small(tens.d_diff, o_sp2, occ_sp2)
     d_denoms = jnp.sum(jnp.where(same_e2, w_same2, w_diff2), axis=-1)
     d1_denom, d2_denom = d_denoms[0], d_denoms[1]
 
     occ_exch2 = jnp.where(
-        same_e2, tens.exch_sqrt[o_sp2[..., None], occ_sp[None]], 0.0
+        same_e2, kernels.take2_small(tens.exch_sqrt, o_sp2, occ_sp2), 0.0
     )
-    e_virts = tens.exch_norms[o_sp2] - jnp.sum(occ_exch2, axis=-1)
+    e_virts = kernels.take_small(tens.exch_norms, o_sp2) - jnp.sum(
+        occ_exch2, axis=-1
+    )
     e1_virt, e2_virt = e_virts[0], e_virts[1]
 
-    u1_irrep = symm[u1s]
-    u2_irrep = symm[u2s]
+    u1_irrep = kernels.take_small(symm, u1s)
+    u2_irrep = kernels.take_small(symm, u2s)
     # per-irrep row sums of exch_sqrt: (n_orb, 8), one small matmul
     irrep_onehot = (symm[:, None] == jnp.arange(8)[None, :]).astype(jnp.float64)
     symm_sums = tens.exch_sqrt @ irrep_onehot
@@ -290,31 +311,39 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     es_o = jnp.stack([o2s, o1s, o2s, o1s])
     es_g = jnp.stack([u2_irrep, u2_irrep, u1_irrep, u1_irrep])
     es_x = jnp.stack([u1s, u1s, u2s, u2s])
-    es_tot = symm_sums[es_o, es_g]
-    es_excl = same[None] & (symm[es_x] == es_g)
-    es = es_tot - jnp.where(es_excl, tens.exch_sqrt[es_o, es_x], 0.0)
+    es_tot = kernels.take2_small(symm_sums, es_o, es_g)
+    es_excl = same[None] & (kernels.take_small(symm, es_x) == es_g)
+    es = es_tot - jnp.where(
+        es_excl, kernels.take2_small(tens.exch_sqrt, es_o, es_x), 0.0
+    )
     e2_symm_no1, e1_symm_no1, e2_symm_no2, e1_symm_no2 = (
         es[0], es[1], es[2], es[3]
     )
 
-    ex = tens.exch_sqrt
-    exo1u1 = ex[o1s, u1s]
-    exo1u2 = ex[o1s, u2s]
-    exo2u1 = ex[o2s, u1s]
-    exo2u2 = ex[o2s, u2s]
+    rows_o1 = kernels.take_rows_small(tens.exch_sqrt, o1s)
+    rows_o2 = kernels.take_rows_small(tens.exch_sqrt, o2s)
+    exo1u1 = kernels.take_along_small(rows_o1, u1s)
+    exo1u2 = kernels.take_along_small(rows_o1, u2s)
+    exo2u1 = kernels.take_along_small(rows_o2, u1s)
+    exo2u2 = kernels.take_along_small(rows_o2, u2s)
 
     def safe_div(a, b):
         return a / jnp.where(b == 0, 1.0, b) * (b != 0)
 
-    w_same = tens.d_same[o1s, o2s] / s_denom * (
-        safe_div(tens.s_tens[o1s], d1_denom * e1_virt)
+    d_same_12 = kernels.take2_small(tens.d_same, o1s, o2s)
+    s_tens_o1 = kernels.take_small(tens.s_tens, o1s)
+    s_tens_o2 = kernels.take_small(tens.s_tens, o2s)
+    d_diff_12 = kernels.take2_small(tens.d_diff, o1s, o2s)
+    d_diff_21 = kernels.take2_small(tens.d_diff, o2s, o1s)
+    w_same = d_same_12 / s_denom * (
+        safe_div(s_tens_o1, d1_denom * e1_virt)
         * (safe_div(exo1u1 * exo2u2, e2_symm_no1) + safe_div(exo1u2 * exo2u1, e2_symm_no2))
-        + safe_div(tens.s_tens[o2s], d2_denom * e2_virt)
+        + safe_div(s_tens_o2, d2_denom * e2_virt)
         * (safe_div(exo2u1 * exo1u2, e1_symm_no1) + safe_div(exo2u2 * exo1u1, e1_symm_no2))
     )
     w_diff = (
-        safe_div(tens.s_tens[o1s] * tens.d_diff[o1s, o2s], d1_denom * e1_virt * e2_symm_no1)
-        + safe_div(tens.s_tens[o2s] * tens.d_diff[o2s, o1s], d2_denom * e2_virt * e1_symm_no2)
+        safe_div(s_tens_o1 * d_diff_12, d1_denom * e1_virt * e2_symm_no1)
+        + safe_div(s_tens_o2 * d_diff_21, d2_denom * e2_virt * e1_symm_no2)
     ) * exo1u1 * exo2u2 / s_denom
     return jnp.where(same, w_same, w_diff)
 
@@ -329,15 +358,16 @@ def unocc_symm_counts(n_orb, n_elec, symm, symm_counts, occ):
     (count_symm_virt, near_uniform.cpp:14-28)."""
     half = n_elec // 2
     occ_sp = occ % n_orb
-    irreps = symm[occ_sp]  # (B, E)
-    b = occ.shape[0]
+    irreps = kernels.take_small(symm, occ_sp)  # (B, E)
     spin = (jnp.arange(n_elec) >= half).astype(jnp.int32)[None, :]
-    counts = jnp.broadcast_to(symm_counts[None, :, None], (b, 8, 2)).astype(jnp.int32)
-    ones = jnp.ones((b, n_elec), jnp.int32)
-    counts = counts.at[
-        jnp.arange(b)[:, None], irreps, jnp.broadcast_to(spin, (b, n_elec))
-    ].add(-ones)
-    return counts
+    # occupancy histogram per (irrep, spin) by fused compare-reduce instead
+    # of a scalar scatter (B, 8, 2, E)
+    hit = (
+        (irreps[:, None, None, :] == jnp.arange(8)[None, :, None, None])
+        & (spin[:, None, None, :] == jnp.arange(2)[None, None, :, None])
+    )
+    occ_counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
+    return symm_counts[None, :, None].astype(jnp.int32) - occ_counts
 
 
 def sing_allowed(n_orb, n_elec, symm, counts, occ):
@@ -345,9 +375,10 @@ def sing_allowed(n_orb, n_elec, symm, counts, occ):
     the number of electrons with any (count_sing_allowed / count_sing_virt,
     near_uniform.cpp:316-347)."""
     half = n_elec // 2
-    irreps = symm[occ % n_orb]
+    irreps = kernels.take_small(symm, occ % n_orb)
     spin = (jnp.arange(n_elec) >= half).astype(jnp.int32)[None, :]
-    b = occ.shape[0]
-    per_elec = counts[jnp.arange(b)[:, None], irreps, jnp.broadcast_to(spin, irreps.shape)]
+    flat = counts.reshape(counts.shape[0], 16)  # (B, 8*2)
+    key16 = irreps * 2 + spin
+    per_elec = kernels.take_along_small(flat[:, None, :], key16).astype(jnp.int32)
     n_allowed = jnp.sum(per_elec > 0, axis=-1)
     return per_elec, n_allowed
