@@ -28,16 +28,14 @@ os.environ.setdefault(
 
 import numpy as np  # noqa: E402
 
-# Highest KNOWN-GOOD rung first: the 1e6 north-star config currently faults
-# at first execution on this chip ("UNAVAILABLE: TPU device error", likely an
-# HBM blowup in the (S, 2*n_orb) f64 probability stages at S=1.4M spawns —
-# see PLAN.md); it stays last so the driver still gets a JSON line without
-# spending ~25 min compiling a config that dies.  Measured 2026-08-16:
-# 500k -> 8.2 s/iter, 125k -> 1.57 s/iter.
+# North-star rung first: the 1e6 config runs clean since the round-2 memory
+# fixes (f32 stage rows, chunked comp_sub emission).  Measured 2026-08-16
+# (round 2): 1e6 -> 4.28 s/iter = 233.7k nonzeros/s (vs 8.2 s/iter at 500k
+# in round 1); 500k -> 2.03 s/iter = 245.9k nonzeros/s.
 FULL_LADDER = [
+    ("1e6", 1_000_000, 1_000_000, 1 << 21, 1_400_000, 2, 5),
     ("500k", 500_000, 500_000, 1 << 20, 700_000, 2, 5),
     ("125k", 125_000, 125_000, 1 << 18, 180_000, 2, 5),
-    ("1e6", 1_000_000, 1_000_000, 1 << 21, 1_400_000, 2, 5),
 ]
 
 

@@ -37,11 +37,27 @@ def _write_params(result_dir, args):
 def _run_power_driver(args, step, run_steps, state, aux, protected=None):
     """Common iteration loop for the single-vector drivers: run in blocks,
     stream metrics to the reference's output files, checkpoint periodically."""
+    import dataclasses
+
     import jax
     from fries_tpu.runtime import checkpoint
 
     result_dir = args.result_dir
     _write_params(result_dir, args)
+
+    if getattr(args, "load_dir", None):
+        # resume: arena + scalars + RNG from the snapshot (reference
+        # frisys_mol.cpp:257-263 + DistVec::load, vec_utils.hpp:761-848)
+        ckpt = os.path.join(args.load_dir, "checkpoint.npz")
+        scal = checkpoint.load_scalars(ckpt)
+        fields = {"arena": checkpoint.load_arena(ckpt),
+                  "key": checkpoint.restore_key(ckpt)}
+        import jax.numpy as jnp
+        for name in ("en_shift", "last_norm", "iterat"):
+            if name in scal and hasattr(state, name):
+                fields[name] = jnp.asarray(scal[name])
+        state = dataclasses.replace(state, **fields)
+        print(f"resumed from {ckpt} at iteration {int(scal['iterat'])}")
     files = {
         "proj_num": _out(result_dir, "projnum.txt"),
         "proj_den": _out(result_dir, "projden.txt"),
@@ -50,6 +66,8 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
         "n_dets": _out(result_dir, "N.txt"),
         "n_ini": _out(result_dir, "nini.txt"),
         "nkept": _out(result_dir, "nkept.txt"),
+        "nnonz": _out(result_dir, "nnonz.txt"),
+        "sgn_coh": _out(result_dir, "sgn_coh.txt"),
     }
     est_args = (
         aux["num_keys"], aux["num_vals"], aux["den_keys"], aux["den_vals"],
@@ -59,15 +77,30 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
     done = 0
     while done < args.max_iter:
         n = min(block, args.max_iter - done)
+        prev_state = state
         if protected is not None:
             state, traj = run_steps(state, *est_args, n, protected)
         else:
             state, traj = run_steps(state, *est_args, n)
         jax.block_until_ready(traj["norm"])
         if bool(np.asarray(traj["overflow"]).any()):
-            print("WARNING: buffer overflow detected; increase max_dets / "
-                  "spawn capacity", file=sys.stderr)
+            # the reference flow-controls its Adder (vec_utils.hpp:991-1019);
+            # with static buffers an overflow invalidates the trajectory, so
+            # checkpoint and abort instead of silently corrupting the run
+            checkpoint.save_state(
+                os.path.join(result_dir, "checkpoint_overflow.npz"), prev_state
+            )
+            for f in files.values():
+                f.close()
+            raise SystemExit(
+                "ERROR: spawn/arena buffer overflow at iteration "
+                f"{done + n}; results from this block are invalid. "
+                "Re-run with larger --max_dets (or mat_nonz spawn capacity); "
+                "last good state saved to checkpoint_overflow.npz"
+            )
         for name, f in files.items():
+            if name not in traj:  # driver variants emit a metric subset
+                continue
             arr = np.asarray(traj[name]).reshape(len(np.asarray(traj["norm"])), -1)
             for row in arr:
                 f.write(",".join(repr(x.item()) for x in row) + "\n")
@@ -178,6 +211,8 @@ def main(argv=None):
                        help="prefix of <prefix><i>dets/<prefix><i>vals trial files")
         p.add_argument("--n_trial", type=int, required=True)
         p.add_argument("--restart_int", type=int, default=10)
+        p.add_argument("--time_reversal", type=int, default=0,
+                       choices=[-1, 0, 1])
 
     p = sub.add_parser("observables_mol", help="Rayleigh observable estimator")
     _add_common(p)
@@ -271,7 +306,10 @@ def main(argv=None):
         return _run_power_driver(args, step, run_steps, state, aux)
 
     if cmd in ("subsp_mol", "subsp_mol_lowmem", "subspfull_mol"):
-        return _run_subspace(args, ham, exact_h=cmd == "subspfull_mol")
+        return _run_subspace(
+            args, ham, exact_h=cmd == "subspfull_mol",
+            lowmem=cmd == "subsp_mol_lowmem",
+        )
 
     if cmd in ("observables_mol", "obs_repl_mol"):
         return _run_observables(args, ham, replica=cmd == "obs_repl_mol")
@@ -317,7 +355,7 @@ def _run_hh(args, cmd):
     return _run_power_driver(args, step, run_steps, state, aux)
 
 
-def _run_subspace(args, ham, exact_h=False):
+def _run_subspace(args, ham, exact_h=False, lowmem=False):
     import jax
     from fries_tpu import io
     from fries_tpu.drivers import subspace
@@ -393,9 +431,9 @@ def _run_observables(args, ham, replica):
         num = np.asarray(traj["obs_num"])[sel]
         den = np.asarray(traj["obs_den"])[sel]
         for x in num:
-            numf.write(f"{x!r}\n")
+            numf.write(f"{x.item()!r}\n")
         for x in den:
-            denf.write(f"{x!r}\n")
+            denf.write(f"{x.item()!r}\n")
         numf.flush()
         denf.flush()
         done += n

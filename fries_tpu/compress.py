@@ -34,6 +34,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from fries_tpu import kernels
+from fries_tpu.kernels import row_cumsum
+
 
 # ---------------------------------------------------------------------------
 # collective helpers
@@ -41,28 +44,6 @@ from jax import lax
 
 def _gsum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name else x
-
-
-def row_cumsum(x: jax.Array, exclusive: bool = False) -> jax.Array:
-    """Cumulative sum along the last (short) axis via a triangular-ones
-    matmul.
-
-    TPU prefix sums along the lane (minor) axis lower to slow sequential
-    code (measured ~100 ms for a (7e5, 56) cumsum); a (K, K) matmul runs on
-    the MXU in one pass.  Accumulates in f32 - exact for rank counts and
-    ample for normalized sub-weight rows (K <= ~64).  Returns f32; cast at
-    the call site.
-    """
-    k = x.shape[-1]
-    tri = jnp.asarray(
-        np.triu(np.ones((k, k), np.float32), 1 if exclusive else 0)
-    )
-    return lax.dot_general(
-        x.astype(jnp.float32),
-        tri,
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
 
 def _prefix_sum_over_shards(local: jax.Array, axis_name):
@@ -708,15 +689,44 @@ def comp_sub(
 
     # ---- output-slot inversion (optionally chunked over slots) ----
     col_ids = jnp.arange(k, dtype=jnp.int32)
+    # one consolidated per-parent payload: a single (n, 8) f64 row gather per
+    # chunk replaces eight separate scalar gathers (each costs a full
+    # gather pass; g_start/offsets are exact in f64 up to 2^53)
+    payload = jnp.stack(
+        [
+            offsets.astype(jnp.float64),
+            kept_counts.astype(jnp.float64),
+            g_start.astype(jnp.float64),
+            cum_parent,
+            parent_rem,
+            values,
+            ndiv_f,
+            uniform.astype(jnp.float64),
+        ],
+        axis=1,
+    )
 
     def emit(slot):
         valid = slot < total
-        # parent of each slot: searchsorted on offsets (last offset <= slot)
-        parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+        # parent of each slot: offsets and slots are both ascending, so the
+        # sort-based searchsorted (one fused sort) beats the 20-round binary
+        # search under TPU gather costs
+        parent = jnp.searchsorted(
+            offsets, slot, side="right", method="sort"
+        ).astype(jnp.int32) - 1
         parent = jnp.clip(parent, 0, n - 1)
-        r = slot - offsets[parent]
-        is_kept_emit = r < kept_counts[parent]
-        p_uniform = uniform[parent]
+        pay = payload[parent]                           # (M', 8)
+        p_offset = pay[:, 0].astype(jnp.int32)
+        p_kept_counts = pay[:, 1].astype(jnp.int32)
+        p_g_start = pay[:, 2]
+        p_cum_parent = pay[:, 3]
+        p_parent_rem = pay[:, 4]
+        p_values = pay[:, 5]
+        p_ndiv_f = pay[:, 6]
+        p_uniform = pay[:, 7] != 0.0
+
+        r = slot - p_offset
+        is_kept_emit = r < p_kept_counts
 
         w_rows = w_sub[parent]                          # (M', K) cdtype
         keep_rows = keep_sub[parent]                    # (M', K)
@@ -730,21 +740,21 @@ def comp_sub(
         kept_sub_idx = jnp.where(p_uniform, r, kept_col)
         kept_val = jnp.where(
             p_uniform,
-            values[parent] / ndiv_f[parent],
-            jnp.take_along_axis(
-                w_rows, jnp.clip(kept_sub_idx, 0, k - 1)[:, None], axis=1
-            )[:, 0].astype(jnp.float64),
+            p_values / p_ndiv_f,
+            kernels.take_along_small(
+                w_rows, jnp.clip(kept_sub_idx, 0, k - 1)
+            ).astype(jnp.float64),
         )
 
         # grid-hit emissions
-        g = g_start[parent] + (r - kept_counts[parent]).astype(jnp.int64)
-        x = (rn + g.astype(jnp.float64)) * unit  # grid point position
-        y = x - cum_parent[parent]  # offset into parent's non-kept mass
+        g = p_g_start + (r - p_kept_counts).astype(jnp.float64)
+        x = (rn + g) * unit  # grid point position
+        y = x - p_cum_parent  # offset into parent's non-kept mass
         # uniform parent: sub index from uniform split of parent mass
         uni_sub = jnp.clip(
-            jnp.floor(y / jnp.maximum(parent_rem[parent], 1e-300) * ndiv_f[parent]),
+            jnp.floor(y / jnp.maximum(p_parent_rem, 1e-300) * p_ndiv_f),
             0,
-            ndiv_f[parent] - 1,
+            p_ndiv_f - 1,
         ).astype(jnp.int32)
         # weighted parent: first non-kept sub whose cumulative exceeds y;
         # the within-row exclusive cumsum is recomputed per chunk in f64
@@ -785,6 +795,156 @@ def comp_sub(
         out_sub = out_sub.reshape(-1)[:out_size]
     else:
         out_val, out_parent, out_sub = emit(jnp.arange(out_size, dtype=jnp.int32))
+    return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_size", "max_ndiv", "axis_name", "max_rounds"),
+)
+def comp_sub_piv(
+    values: jax.Array,
+    ndiv: jax.Array,
+    sub_weights: jax.Array,
+    sub_mask: jax.Array,
+    n_samp,
+    key: jax.Array,
+    out_size: int,
+    max_ndiv: int = 0,
+    axis_name: str | None = None,
+    max_rounds: int = 64,
+):
+    """Pivotal variant of one hierarchical-compression level (the reference's
+    apply_HBPP_piv stages, heat_bathPP.cpp:994-1419).
+
+    The reference expands each stage's sub-elements into ``long_vec`` and
+    runs piv_comp_parallel on the flattened items; here the expansion is the
+    static (N, Kp) grid (uniform parents occupy the first ndiv columns with
+    weight v/ndiv), preservation is the seeded greedy fixpoint over items,
+    and the pivotal resampling is the log-depth tree tournament.  Same
+    signature/semantics as :func:`comp_sub` but selection is pivotal (each
+    sub selected at most once) and driven by ``key`` instead of a shared
+    grid rn.
+
+    ``max_ndiv``: static bound on ndiv values (0 = K covers them).
+    """
+    n, k = sub_weights.shape
+    kp = max(k, max_ndiv)
+    values = values.astype(jnp.float64)
+    cdtype = sub_weights.dtype if sub_weights.dtype == jnp.float32 else jnp.float64
+    n_samp = jnp.asarray(n_samp, jnp.int32)
+
+    uniform = (ndiv > 0) & (values > 0)
+    weighted = (ndiv == 0) & (values > 0)
+    ndiv_f = jnp.maximum(ndiv, 1).astype(jnp.float64)
+    col = jnp.arange(kp, dtype=jnp.int32)
+    w_sub = jnp.zeros((n, kp), cdtype)
+    w_sub = w_sub.at[:, :k].set(
+        jnp.where(
+            weighted[:, None] & sub_mask,
+            values.astype(cdtype)[:, None] * sub_weights.astype(cdtype),
+            jnp.asarray(0.0, cdtype),
+        )
+    )
+    w_uni_each = jnp.where(
+        uniform[:, None] & (col[None, :] < ndiv[:, None]),
+        (values / ndiv_f).astype(cdtype)[:, None],
+        jnp.asarray(0.0, cdtype),
+    )
+    w_flat = w_sub + w_uni_each  # (N, Kp), every sub an independent item
+
+    tot_norm0 = _gsum(jnp.sum(w_flat, dtype=jnp.float64), axis_name)
+    w_floor = jnp.asarray(1e-14 * tot_norm0, cdtype)
+
+    # seeded greedy preserve over the flattened items (all cost 1)
+    t_est = _preserve_threshold_seed(
+        [(w_flat, w_flat, None)], n_samp, tot_norm0, axis_name
+    )
+
+    def cond(state):
+        _, n_added, rounds = state
+        return (n_added > 0) & (rounds < max_rounds)
+
+    def body(state):
+        keep, _, rounds = state
+        loc_norm = jnp.sum(
+            jnp.where(keep, jnp.asarray(0.0, cdtype), w_flat),
+            dtype=jnp.float64,
+        )
+        glob_norm = _gsum(loc_norm, axis_name)
+        budget = jnp.maximum(
+            n_samp - _gsum(jnp.sum(keep, dtype=jnp.int32), axis_name), 0
+        )
+        thr = jnp.where(
+            budget > 0,
+            glob_norm / jnp.maximum(budget, 1).astype(jnp.float64),
+            jnp.inf,
+        )
+        new_keep = keep | ((w_flat > w_floor) & (w_flat >= thr))
+        n_added = _gsum(jnp.sum(new_keep & ~keep, dtype=jnp.int32), axis_name)
+        return new_keep, n_added, rounds + 1
+
+    keep0 = (w_flat > w_floor) & (w_flat >= t_est)
+    keep, _, _ = lax.while_loop(cond, body, (keep0, jnp.int32(1), jnp.int32(0)))
+
+    rem = jnp.where(keep, jnp.asarray(0.0, cdtype), w_flat)
+    loc_norm = jnp.sum(rem, dtype=jnp.float64)
+    glob_norm = _gsum(loc_norm, axis_name)
+    n_kept_tot = _gsum(jnp.sum(keep, dtype=jnp.int32), axis_name)
+    n_grid = jnp.maximum(n_samp - n_kept_tot, 0)
+    n_grid = jnp.where(glob_norm < 1e-9, 0, n_grid)
+    unit = jnp.where(n_grid > 0, glob_norm / jnp.maximum(n_grid, 1), jnp.inf)
+
+    # per-shard pivotal budget + adjust_probs-equivalent local capping, then
+    # the tree tournament over this shard's items
+    if axis_name:
+        shard_norms = lax.all_gather(loc_norm, axis_name)
+        budgets = piv_budget(jax.random.fold_in(key, 1), shard_norms, n_grid)
+        my_budget = budgets[lax.axis_index(axis_name)]
+        shard_key = jax.random.fold_in(
+            jax.random.fold_in(key, 2), lax.axis_index(axis_name)
+        )
+    else:
+        my_budget = n_grid
+        shard_key = key
+    p = jnp.minimum(
+        rem.astype(jnp.float64).reshape(-1)
+        / jnp.where(my_budget > 0, loc_norm / jnp.maximum(my_budget, 1), jnp.inf),
+        1.0,
+    )
+    sel = piv_select_tree(shard_key, p).reshape(n, kp) & (my_budget > 0)
+
+    flagged = keep | sel
+    f_counts = jnp.sum(flagged, axis=1, dtype=jnp.int32)
+    offsets = jnp.cumsum(f_counts) - f_counts
+    total = jnp.sum(f_counts)
+    overflow = total > out_size
+
+    payload = jnp.stack(
+        [offsets.astype(jnp.float64), values, ndiv_f,
+         uniform.astype(jnp.float64)], axis=1,
+    )
+    slot = jnp.arange(out_size, dtype=jnp.int32)
+    valid = slot < total
+    parent = jnp.searchsorted(
+        offsets, slot, side="right", method="sort"
+    ).astype(jnp.int32) - 1
+    parent = jnp.clip(parent, 0, n - 1)
+    pay = payload[parent]
+    r = slot - pay[:, 0].astype(jnp.int32)
+
+    flag_rows = flagged[parent]
+    keep_rows = keep[parent]
+    rank_rows = row_cumsum(flag_rows).astype(jnp.int32) - 1
+    hit = flag_rows & (rank_rows == r[:, None])
+    sub_idx = jnp.sum(jnp.where(hit, col, 0), axis=1)
+    is_kept = jnp.sum(jnp.where(hit, keep_rows, False), axis=1) > 0
+    w_rows = w_flat[parent]
+    kept_val = kernels.take_along_small(w_rows, sub_idx).astype(jnp.float64)
+    out_val = jnp.where(is_kept, kept_val, unit)
+    out_val = jnp.where(valid, out_val, 0.0)
+    out_parent = jnp.where(valid, parent, -1)
+    out_sub = jnp.where(valid, sub_idx, -1)
     return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
 
 

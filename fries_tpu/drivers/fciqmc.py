@@ -42,6 +42,10 @@ class FciqmcConfig:
     shift_damping: float = 0.05
     distribution: str = "NU"   # "NU" | "HB"
     integer_walkers: bool = True
+    # multi-chip: hash-sharded walker populations under shard_map
+    axis_name: str | None = None
+    n_shards: int = 1
+    exchange_cap: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -84,12 +88,20 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
     n_orb, n_elec = ham.n_orb, ham.n_elec
     a_cap = cfg.attempt_cap
     eps = cfg.eps
+    axis = cfg.axis_name
+
+    def gsum(x):
+        return lax.psum(x, axis) if axis else x
 
     @jax.jit
     def step(state: FciqmcState, num_keys, num_vals, den_keys, den_vals,
              ref_key):
         a = state.arena
         key_iter = jax.random.fold_in(state.key, state.iterat)
+        if axis:
+            # independent walker streams per shard (the reference seeds each
+            # MPI rank separately, fciqmc_mol.cpp:104-105)
+            key_iter = jax.random.fold_in(key_iter, lax.axis_index(axis))
         k_split, k_spawn, k_death, k_round = jax.random.split(key_iter, 4)
 
         vals0 = jnp.where(a.valid, a.vals[0], 0.0)
@@ -97,9 +109,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         if cfg.integer_walkers:
             n_walk_int = jnp.round(n_walk).astype(jnp.int64)
         else:
-            # fp variant: expected attempts proportional to |v|, at least one
-            # per occupied determinant (ceil), Blunt et al. 2015
-            n_walk_int = jnp.ceil(n_walk).astype(jnp.int64)
+            # fp variant: stochastic attempt count round_binomially(|v|, 1)
+            # with unit per-attempt weight (fciqmc_fp_mol.cpp:342)
+            k_att = jax.random.fold_in(key_iter, 31)
+            n_walk_int = compress.round_binomially(
+                k_att, n_walk, jnp.ones(n_walk.shape, jnp.int32)
+            ).astype(jnp.int64)
         walk_sign = jnp.sign(vals0)
 
         parent, valid, total = _attempt_parents(n_walk_int, a_cap)
@@ -124,14 +139,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             )
         s = nu.sample_singles(ks, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts)
 
-        # per-walker weight: fp variant scales by |v|/ceil(|v|) per attempt
-        per_attempt = jnp.where(
-            valid,
-            (n_walk[parent] / jnp.maximum(n_walk_int[parent], 1))
-            if not cfg.integer_walkers
-            else 1.0,
-            0.0,
-        )
+        # per-walker weight is 1 in both variants: the attempt count is the
+        # stochastically rounded population (fciqmc_mol.cpp:346,
+        # fciqmc_fp_mol.cpp:342)
+        per_attempt = jnp.where(valid, 1.0, 0.0)
 
         dmel = mol.doub_matr_el(ham, d["o1"], d["o2"], d["u1"], d["u2"])
         damp_mag = eps * dmel / d["prob"] / p_doub * per_attempt
@@ -153,9 +164,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             ).astype(jnp.float64)
             spawn_val = jnp.sign(spawn_val) * rounded
         else:
-            # fp variant: stochastically round only small magnitudes
-            # (fciqmc_fp_mol.cpp:342-435)
-            small = jnp.abs(spawn_val) < 1.0
+            # fp variant: spawns below 0.01 are stochastically rounded to
+            # integers, larger spawns keep their float value
+            # (fciqmc_fp_mol.cpp:383-387)
+            small = jnp.abs(spawn_val) < 0.01
             rounded = compress.round_binomially(
                 k_round, jnp.abs(spawn_val), jnp.ones((a_cap,), jnp.int32)
             ).astype(jnp.float64)
@@ -185,6 +197,25 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             new_v = death_p * n_walk
         new_v = jnp.where(a.valid, new_v, 0.0)
 
+        if axis and cfg.n_shards > 1:
+            from fries_tpu.runtime import shard as sh
+
+            cap = cfg.exchange_cap or max(1, 2 * a_cap // cfg.n_shards)
+            tgt = sh.shard_of_words(new_words, cfg.n_shards)
+            received, exch_ovf = sh.exchange(
+                {"keys": new_words, "amps": spawn_val, "occ": new_occ,
+                 "diag": new_diag, "ini": ini},
+                tgt, cfg.n_shards, cap, axis,
+            )
+            new_words = received["keys"]
+            spawn_val = jnp.where(
+                ~dets.is_invalid(new_words), received["amps"], 0.0
+            )
+            new_occ = received["occ"]
+            new_diag = received["diag"]
+            ini = received["ini"]
+            overflow |= exch_ovf
+
         a1 = ar.set_row(a, 0, new_v)
         a2, stats = ar.accumulate(
             a1, new_words, spawn_val, new_occ, new_diag, ini,
@@ -192,12 +223,19 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         )
 
         final_v = jnp.where(a2.valid, a2.vals[0], 0.0)
+        if not cfg.integer_walkers:
+            # Blunt-2015 vector compression: stochastically round elements
+            # below 1 to 0/+-1 after the merge (fciqmc_fp_mol.cpp:428-440)
+            k_vr = jax.random.fold_in(key_iter, 37)
+            small_v = (jnp.abs(final_v) < 1.0) & (final_v != 0)
+            rv = compress.stochastic_round(k_vr, jnp.abs(final_v))
+            final_v = jnp.where(small_v, jnp.sign(final_v) * rv, final_v)
 
         a2v = ar.set_row(a2, 0, final_v)
-        proj_num = ar.dot(a2v, num_keys, num_vals, row=0)
-        proj_den = ar.dot(a2v, den_keys, den_vals, row=0)
+        proj_num = gsum(ar.dot(a2v, num_keys, num_vals, row=0))
+        proj_den = gsum(ar.dot(a2v, den_keys, den_vals, row=0))
 
-        glob_norm = jnp.sum(jnp.abs(final_v))
+        glob_norm = gsum(jnp.sum(jnp.abs(final_v)))
         do_shift = (state.iterat + 1) % cfg.shift_interval == 0
         new_shift, new_last = compress.adjust_shift(
             state.en_shift, glob_norm, state.last_norm, cfg.target_walkers,
@@ -214,8 +252,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             "proj_den": proj_den,
             "norm": glob_norm,
             "shift": en_shift,
-            "n_dets": a3.n_used,
-            "overflow": stats["overflow"] | overflow,
+            "n_dets": gsum(a3.n_used),
+            "nnonz": gsum(ar.n_nonzero(a3)),
+            "sgn_coh": gsum(stats["nonini_occ_add"]),
+            "overflow": (
+                gsum((stats["overflow"] | overflow).astype(jnp.int32)) > 0
+                if axis else stats["overflow"] | overflow
+            ),
         }
         return (
             FciqmcState(a3, en_shift, last_norm, state.key, state.iterat + 1),
@@ -263,3 +306,57 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         "p_doub": p_doub,
     }
     return step, run_steps, state, aux
+
+
+def build_sharded(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
+                  mesh, init_walkers: float = 100.0):
+    """Hash-sharded FCIQMC over a 1-D mesh: walkers distributed by
+    determinant hash with all-to-all spawn exchange (the TPU analogue of the
+    reference's MPI rank layout).  ``cfg.capacity``/``attempt_cap`` are per
+    shard."""
+    from fries_tpu import parallel
+    from jax.sharding import PartitionSpec as P
+
+    assert cfg.axis_name and cfg.n_shards == mesh.devices.size
+    step, run_steps, state0, aux = build(ham, cfg, seed, init_walkers)
+    a = state0.arena
+    live = np.asarray(a.valid)
+    gk, gv, go, gd, gn = parallel.distribute_rows(
+        np.asarray(a.keys)[live], np.asarray(a.vals)[:, live],
+        np.asarray(a.occ)[live], np.asarray(a.diag)[live],
+        cfg.n_shards, cfg.capacity,
+    )
+    st = FciqmcState(
+        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        en_shift=state0.en_shift, last_norm=state0.last_norm,
+        key=state0.key, iterat=state0.iterat,
+    )
+    sspec = FciqmcState(
+        arena=parallel.arena_spec(cfg.axis_name), en_shift=P(), last_norm=P(),
+        key=P(), iterat=P(),
+    )
+    mspec = {
+        "proj_num": P(), "proj_den": P(), "norm": P(), "shift": P(),
+        "n_dets": P(), "nnonz": P(), "sgn_coh": P(), "overflow": P(),
+    }
+    repl = (P(), P(), P(), P(), P())
+    sharded_step = jax.jit(
+        jax.shard_map(
+            step, mesh=mesh, in_specs=(sspec,) + repl,
+            out_specs=(sspec, mspec), check_vma=False,
+        )
+    )
+
+    def sharded_run(state, nk, nv, dk, dv, rk, n_iter: int):
+        fn = jax.jit(
+            jax.shard_map(
+                lambda s, a1, a2, a3, a4, a5: run_steps(
+                    s, a1, a2, a3, a4, a5, n_iter
+                ),
+                mesh=mesh, in_specs=(sspec,) + repl,
+                out_specs=(sspec, mspec), check_vma=False,
+            )
+        )
+        return fn(state, nk, nv, dk, dv, rk)
+
+    return sharded_step, sharded_run, st, aux

@@ -49,6 +49,10 @@ class FrisysConfig:
     shift_interval: int = 10
     shift_damping: float = 0.05
     unnorm: bool = False    # HB_unnorm distribution variant
+    pivotal: bool = False   # pivotal per-stage compression (apply_HBPP_piv,
+                            # heat_bathPP.cpp:994-1419) instead of systematic
+    spin_parity: int = 0    # time-reversal sector (+1/-1; 0 = off): fold
+                            # sampled excitations onto the symmetrized basis
     stage_f32: bool = True  # hold comp_sub probability rows in f32 (halves
                             # the dominant (S, K) stage bandwidth; norms, grid
                             # positions, values and estimators stay f64)
@@ -111,6 +115,19 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
     _sw = (lambda w: w.astype(jnp.float32)) if cfg.stage_f32 else (lambda w: w)
     _ck = dict(axis_name=cfg.axis_name, emit_chunk=cfg.emit_chunk)
 
+    def _stage(level, vals_in, ndiv_in, w_in, m_in, rns, keys5, max_ndiv):
+        # one compression level: systematic shared-grid (apply_HBPP_sys) or
+        # pivotal tree selection (apply_HBPP_piv) per cfg.pivotal
+        if cfg.pivotal:
+            return compress.comp_sub_piv(
+                vals_in, ndiv_in, _sw(w_in), w_in != 0, m_in, keys5[level],
+                s_cap, max_ndiv=max_ndiv, axis_name=cfg.axis_name,
+            )
+        return compress.comp_sub(
+            vals_in, ndiv_in, _sw(w_in), w_in != 0, m_in, rns[level], s_cap,
+            **_ck,
+        )
+
     def spawn(keys, occ, vals, h_fac, key, thresh=None):
         # ``thresh`` (optional, traced scalar) overrides the static initiator
         # cutoff; the subspace driver passes the norm-relative threshold
@@ -125,14 +142,15 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             vals = jnp.where(is_determ, 0.0, vals)
         absv = jnp.abs(vals)
         rns = jax.random.uniform(key, (6,), dtype=jnp.float64)
+        keys5 = jax.random.split(jax.random.fold_in(key, 77), 5)
         overflow = jnp.bool_(False)
 
         # ---------------- level A: single vs double ----------------
         ndiv = jnp.zeros((c,), jnp.int32)
         subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
         maskA = jnp.ones((c, 2), bool)
-        val, parent, sub, _, ovf = compress.comp_sub(
-            absv, ndiv, _sw(subw), maskA, m_samp, rns[0], s_cap, **_ck,
+        val, parent, sub, _, ovf = _stage(
+            0, absv, ndiv, jnp.where(maskA, subw, 0.0), m_samp, rns, keys5, 0
         )
         overflow |= ovf
         det_idx = jnp.where(parent >= 0, parent, 0)
@@ -167,9 +185,9 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         ndivB = jnp.where(is_doub, 0, jnp.maximum(n_occ_allowed, 1)).astype(jnp.int32)
         valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
         maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
-        val, parent, sub, _, ovf = compress.comp_sub(
-            valB_in, ndivB, _sw(jnp.where(maskB, probsB, 0.0)), maskB,
-            m_samp, rns[1], s_cap, **_ck,
+        val, parent, sub, _, ovf = _stage(
+            1, valB_in, ndivB, jnp.where(maskB, probsB, 0.0), m_samp, rns,
+            keys5, n_elec,
         )
         overflow |= ovf
         live = parent >= 0
@@ -201,9 +219,9 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         rowsum = jnp.sum(probsC, axis=-1)
         valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
         maskC = is_doub[:, None] & (probsC > 0)
-        val, parent, sub, _, ovf = compress.comp_sub(
-            valC_in, ndivC, _sw(jnp.where(maskC, probsC, 0.0)), maskC,
-            m_samp, rns[2], s_cap, **_ck,
+        val, parent, sub, _, ovf = _stage(
+            2, valC_in, ndivC, jnp.where(maskC, probsC, 0.0), m_samp, rns,
+            keys5, n_virt,
         )
         overflow |= ovf
         live = parent >= 0
@@ -231,9 +249,9 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         ndivD = jnp.where(is_doub, 0, 1).astype(jnp.int32)
         valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
         maskD = is_doub[:, None] & (probsD > 0)
-        val, parent, sub, _, ovf = compress.comp_sub(
-            valD_in, ndivD, _sw(jnp.where(maskD, probsD, 0.0)), maskD,
-            m_samp, rns[3], s_cap, **_ck,
+        val, parent, sub, _, ovf = _stage(
+            3, valD_in, ndivD, jnp.where(maskD, probsD, 0.0), m_samp, rns,
+            keys5, 1,
         )
         overflow |= ovf
         live = parent >= 0
@@ -271,9 +289,9 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         ndivE = jnp.where(is_doub, 0, 1).astype(jnp.int32)
         valE_in = jnp.where(is_doub & (rowsumE <= 0), 0.0, val)
         maskE = is_doub[:, None] & (probsE > 0)
-        val, parent, sub, _, ovf = compress.comp_sub(
-            valE_in, ndivE, _sw(jnp.where(maskE, probsE, 0.0)), maskE,
-            m_samp, rns[4], s_cap, **_ck,
+        val, parent, sub, _, ovf = _stage(
+            4, valE_in, ndivE, jnp.where(maskE, probsE, 0.0), m_samp, rns,
+            keys5, 1,
         )
         overflow |= ovf
         live = parent >= 0
@@ -372,13 +390,47 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             0.0,
         )
 
-        amps = jnp.where(is_doub, damp, samp)
-        new_words = jnp.where(is_doub[:, None], dwords, swords)
+        if cfg.spin_parity:
+            # time-reversal folding of the sampled excitations
+            # (apply_HBPP_piv spin_parity branch, heat_bathPP.cpp:1326-1407):
+            # combine direct + reverse elements and selection weights
+            from fries_tpu.ops import time_reversal as tr_mod
+
+            direct_mel = jnp.where(is_doub, dmel * dsign, smel * ssign)
+            w_doub = jnp.maximum(tot, 1e-300) * p_doub
+            w_sing = (1.0 - p_doub) / jnp.maximum(
+                (n_occ_allowed * s_nvirt).astype(jnp.float64), 1e-300
+            )
+            direct_w = jnp.where(is_doub, w_doub, w_sing)
+            ok = jnp.where(is_doub, doub_ok & (tot > 0), sing_ok)
+            target0 = jnp.where(is_doub[:, None], dwords, swords)
+            t_words, t_mel, t_w, t_keep = tr_mod.adjust_sampled(
+                ham, tens, symm, counts, n_occ_allowed, s_keys, s_occ,
+                occ_bits, target0, direct_mel, direct_w, cfg.spin_parity,
+                p_doub, unnorm,
+            )
+            amps = jnp.where(
+                ok & t_keep & live,
+                h_fac * sign * val * t_mel / jnp.maximum(t_w, 1e-300),
+                0.0,
+            )
+            new_words = t_words
+        else:
+            amps = jnp.where(is_doub, damp, samp)
+            new_words = jnp.where(is_doub[:, None], dwords, swords)
         new_words = jnp.where(
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
         new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
         new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
+        if cfg.spin_parity:
+            # folded-basis diagonal (tr_diag, subsp_mol.cpp:122-147)
+            from fries_tpu.ops import time_reversal as tr_mod
+
+            tr_delta, _ = tr_mod.tr_diag(
+                ham, new_words, new_occ, cfg.spin_parity
+            )
+            new_diag = new_diag + jnp.where(amps != 0, tr_delta, 0.0)
         ini_cut = cfg.init_thresh if thresh is None else thresh
         ini = jnp.abs(vals[det_idx]) >= ini_cut
 

@@ -45,6 +45,10 @@ class ObservablesConfig:
     n_obs: int = 20         # observable-period length
     btw_obs: int = 20       # free-evolution period length
     replica: bool = False   # replica-trick estimator instead of Rayleigh
+    # multi-chip: hash-sharded arena under shard_map
+    axis_name: str | None = None
+    n_shards: int = 1
+    exchange_cap: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +65,26 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
     n_orb, n_elec = ham.n_orb, ham.n_elec
     tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
     n_rows = 4
+    axis = cfg.axis_name
+
+    def gsum(x):
+        return lax.psum(x, axis) if axis else x
+
+    def route(sw, sv, so, sd, ovf):
+        # shard-route spawned contributions (Adder::perform_add)
+        if not (axis and cfg.n_shards > 1):
+            return sw, sv, so, sd, ovf
+        from fries_tpu.runtime import shard as sh
+
+        cap = cfg.exchange_cap or max(1, 2 * sv.shape[0] // cfg.n_shards)
+        tgt = sh.shard_of_words(sw, cfg.n_shards)
+        rec, exch_ovf = sh.exchange(
+            {"keys": sw, "amps": sv, "occ": so, "diag": sd},
+            tgt, cfg.n_shards, cap, axis,
+        )
+        sw = rec["keys"]
+        sv = jnp.where(~dets.is_invalid(sw), rec["amps"], 0.0)
+        return sw, sv, rec["occ"], rec["diag"], ovf | exch_ovf
 
     def apply_one_elec(a: ar.Arena, src_row: int, dest_row: int):
         """dest_row <- O * src_row via arena accumulate."""
@@ -80,12 +104,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
         sv = jnp.concatenate(spawns_v)
         so = dets.occ_list(sw, ham.n_bits, n_elec)
         sd = mol.diag_matrel_chunked(ham, so) - hf_en
+        sw, sv, so, sd, ovf = route(sw, sv, so, sd, jnp.bool_(False))
         a = ar.set_row(a, dest_row, jnp.zeros((a.capacity,)))
         a2, stats = ar.accumulate(
             a, sw, sv, so, sd, jnp.ones(sv.shape, jnp.bool_),
             origin_row=src_row, dest_row=dest_row,
         )
-        return a2, stats["overflow"]
+        return a2, stats["overflow"] | ovf
 
     def h_multiply(a: ar.Arena, src_row: int, dest_row: int, key):
         """dest <- (1 - eps (H - e_ref)) src, exact."""
@@ -97,6 +122,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
         fa = amp.reshape(-1)
         fo = nocc.reshape(-1, n_elec)
         fd = mol.diag_matrel_chunked(ham, fo) - hf_en
+        fw, fa, fo, fd, _ = route(fw, fa, fo, fd, jnp.bool_(False))
         diag_part = vals * (1 - cfg.eps * a.diag)
         a1 = ar.set_row(a, dest_row, diag_part)
         a2, stats = ar.accumulate(
@@ -106,9 +132,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
         return a2, stats["overflow"]
 
     def internal_dot(a, r1, r2):
-        return jnp.sum(
+        return gsum(jnp.sum(
             jnp.where(a.valid, a.vals[r1] * a.vals[r2], 0.0)
-        )
+        ))
 
     @jax.jit
     def step(state: ObsState):
@@ -145,10 +171,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
             wfac = (1.0 + jnp.abs(a.vals[3])) ** cfg.exponent
             v_w = jnp.where(weighted, v * wfac, v)
             keep, n_left, loc_norm = compress.find_preserve(
-                jnp.abs(v_w), cfg.target_nonz
+                jnp.abs(v_w), cfg.target_nonz, axis_name=axis
             )
             rn = jax.random.uniform(key, dtype=jnp.float64)
-            cv = compress.sys_comp(v_w, keep, n_left, rn, loc_norm)
+            cv = compress.sys_comp(
+                v_w, keep, n_left, rn, loc_norm, axis_name=axis
+            )
             cv = jnp.where(weighted, cv / wfac, cv)
             return ar.set_row(a, row, cv)
 
@@ -162,10 +190,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
         if cfg.replica:
             a, ovf2 = h_multiply(a, 1, 1, key_iter)
             overflow |= ovf2
-        norm = jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[0], 0.0)))
+        norm = gsum(jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[0], 0.0))))
         a = ar.set_row(a, 0, a.vals[0] / jnp.maximum(norm, 1e-300))
         if cfg.replica:
-            norm2 = jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[1], 0.0)))
+            norm2 = gsum(
+                jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[1], 0.0)))
+            )
             a = ar.set_row(a, 1, a.vals[1] / jnp.maximum(norm2, 1e-300))
 
         any_nonzero = jnp.any(a.vals != 0, axis=0)
@@ -176,8 +206,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
             "obs_den": obs_den,
             "in_obs": in_obs,
             "norm": norm,
-            "n_dets": a.n_used,
-            "overflow": overflow,
+            "n_dets": gsum(a.n_used),
+            "overflow": (
+                gsum(overflow.astype(jnp.int32)) > 0 if axis else overflow
+            ),
         }
         return ObsState(a, state.key, it + 1), metrics
 
@@ -196,3 +228,47 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
     state = ObsState(a, jax.random.key(seed), jnp.int32(0))
     aux = {"e_ref": hf_en}
     return step, run_steps, state, aux
+
+
+def build_sharded(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig,
+                  seed: int, mesh, init_val: float = 100.0):
+    """Hash-sharded observable estimators over a 1-D mesh (per-shard
+    capacity)."""
+    from fries_tpu import parallel
+    from jax.sharding import PartitionSpec as P
+
+    assert cfg.axis_name and cfg.n_shards == mesh.devices.size
+    step, run_steps, state0, aux = build(ham, cfg, seed, init_val)
+    a = state0.arena
+    live = np.asarray(a.valid)
+    gk, gv, go, gd, gn = parallel.distribute_rows(
+        np.asarray(a.keys)[live], np.asarray(a.vals)[:, live],
+        np.asarray(a.occ)[live], np.asarray(a.diag)[live],
+        cfg.n_shards, cfg.capacity,
+    )
+    st = ObsState(
+        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        key=state0.key, iterat=state0.iterat,
+    )
+    sspec = ObsState(
+        arena=parallel.arena_spec(cfg.axis_name), key=P(), iterat=P()
+    )
+    mspec = {
+        "obs_num": P(), "obs_den": P(), "in_obs": P(), "norm": P(),
+        "n_dets": P(), "overflow": P(),
+    }
+    sharded_step = jax.jit(
+        jax.shard_map(step, mesh=mesh, in_specs=(sspec,),
+                      out_specs=(sspec, mspec), check_vma=False)
+    )
+
+    def sharded_run(state, n_iter: int):
+        fn = jax.jit(
+            jax.shard_map(
+                lambda s: run_steps(s, n_iter), mesh=mesh, in_specs=(sspec,),
+                out_specs=(sspec, mspec), check_vma=False,
+            )
+        )
+        return fn(state)
+
+    return sharded_step, sharded_run, st, aux

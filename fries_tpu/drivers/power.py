@@ -222,6 +222,12 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
                     dtype=jnp.int32,
                 )
             ),
+            # nonzero count after compression (reference nnonz.txt,
+            # DistVec::n_nonz, vec_utils.hpp:533-535)
+            "nnonz": gsum(jnp.sum(comp_v != 0, dtype=jnp.int32)),
+            # signed-coherence counter: non-initiator adds to occupied
+            # targets (tot_sgn_coh, vec_utils.hpp:537-543)
+            "sgn_coh": gsum(stats["nonini_occ_add"]),
             "overflow": (
                 (gsum(stats["overflow"].astype(jnp.int32)) > 0) | exch_overflow
                 if axis

@@ -50,6 +50,20 @@ class SubspaceConfig:
     shift_damping: float = 0.05
     unnorm: bool = True
     exact_h: bool = False   # exact H application (subspfull_mol.cpp)
+    compress_mode: str = "piv"  # vector compression: "piv" (reference
+                                # compress_vecs, vec_utils.cpp:10-71), "sys",
+                                # or "multi" (compress_vecs_multi, :73-127)
+    pivotal_h: bool = True      # apply_HBPP_piv per-stage pivotal sampling
+    lowmem: bool = False        # subsp_mol_lowmem: compute <trial|H|v> on
+                                # the fly instead of storing the H*trial rows
+                                # (calc_h_dot, molecule.cpp:667-885)
+    spin_parity: int = 0        # time-reversal sector (subsp_mol.cpp
+                                # --time_reversal: trial folding :207-224,
+                                # folded diagonal :115-147)
+    # multi-chip (BASELINE.md: hash-sharded subsp_mol): set under shard_map
+    axis_name: str | None = None
+    n_shards: int = 1
+    exchange_cap: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -68,6 +82,28 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
     padded); trial_vals: (T, Nt).  The iterates start as the trial vectors
     (subsp_mol.cpp:197-235)."""
     t = cfg.n_trial
+    if cfg.spin_parity:
+        # fold each trial vector onto canonical spin-flip representatives
+        # (subsp_mol.cpp:207-224)
+        from fries_tpu.ops import time_reversal as tr_mod
+
+        assert not cfg.lowmem, "lowmem + time_reversal not yet supported"
+        folded = [
+            tr_mod.fold_vector_host(
+                ham, trial_keys[j], trial_vals[j], cfg.spin_parity
+            )
+            for j in range(cfg.n_trial)
+        ]
+        nmax = max(1, max(len(v) for _, v in folded))
+        fk = np.tile(
+            np.asarray(dets.invalid_det(ham.n_words)), (cfg.n_trial, nmax, 1)
+        )
+        fv = np.zeros((cfg.n_trial, nmax))
+        for j, (k_j, v_j) in enumerate(folded):
+            fk[j, : len(v_j)] = k_j
+            fv[j, : len(v_j)] = v_j
+        trial_keys = jnp.asarray(fk)
+        trial_vals = jnp.asarray(fv)
     syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
     tens = hb.setup(ham)
     p_doub = frisys.hf_p_doub(ham, syminfo)
@@ -77,6 +113,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
     fcfg = frisys.FrisysConfig(
         eps=cfg.eps, vec_nonz=cfg.vec_nonz, matr_samp=cfg.matr_samp,
         capacity=cfg.capacity, spawn_cap=cfg.spawn_cap, unnorm=cfg.unnorm,
+        pivotal=cfg.pivotal_h, spin_parity=cfg.spin_parity,
+        axis_name=cfg.axis_name, n_shards=cfg.n_shards,
     )
     if cfg.exact_h:
         # subspfull_mol: exact (uncompressed) H application per vector
@@ -95,11 +133,16 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
     else:
         spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, fcfg, hf_en)
 
-    # H * trial (exact) for the h_mat projections (subsp_mol.cpp:258-270)
+    # H * trial (exact) for the h_mat projections (subsp_mol.cpp:258-270).
+    # lowmem (subsp_mol_lowmem.cpp:439) skips the stored rows entirely and
+    # re-enumerates H|trial_i> inside each step - the TPU re-design keeps the
+    # reference's memory profile but enumerates on the (small, fixed) trial
+    # side instead of walking the full iterate (calc_h_dot walks the iterate,
+    # molecule.cpp:667-885; the projection is identical by symmetry of H)
     tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
     htrial_keys = []
     htrial_vals = []
-    for j in range(t):
+    for j in range(t if not cfg.lowmem else 0):
         tk = np.asarray(trial_keys[j])
         tv = np.asarray(trial_vals[j])
         live = tv != 0
@@ -109,9 +152,27 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         w, amp, _ = mol.exact_offdiag_batch(
             ham, tmpl, jnp.asarray(tk), occ_j, jnp.asarray(tv), 1.0
         )
-        w = np.asarray(w.reshape(-1, ham.n_words))
-        amp = np.asarray(amp.reshape(-1))
+        nc_j = amp.shape[1]
+        wflat = w.reshape(-1, ham.n_words)
+        aflat = amp.reshape(-1)
         diag_j = np.asarray(mol.diag_matrel(ham, occ_j)) - float(hf_en)
+        if cfg.spin_parity:
+            from fries_tpu.ops import time_reversal as tr_mod
+
+            parents = jnp.repeat(jnp.asarray(tk), nc_j, axis=0)
+            pocc = jnp.repeat(occ_j, nc_j, axis=0)
+            scale = jnp.repeat(jnp.asarray(tv), nc_j)
+            wflat, aflat = tr_mod.adjust_exact(
+                ham, parents, pocc, wflat, aflat, cfg.spin_parity, scale=scale
+            )
+            delta_j, forbid_j = tr_mod.tr_diag(
+                ham, jnp.asarray(tk), occ_j, cfg.spin_parity
+            )
+            diag_j = diag_j + np.asarray(delta_j)
+            diag_j = np.where(np.asarray(forbid_j), 0.0, diag_j)
+        w = wflat
+        amp = np.asarray(aflat)
+        w = np.asarray(w)
         keys_all = np.concatenate([tk, w[amp != 0]])
         vals_all = np.concatenate([tv * diag_j, amp[amp != 0]])
         # merge duplicates
@@ -121,16 +182,26 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         htrial_keys.append(np.asarray(list(merged.keys()), np.uint32))
         htrial_vals.append(np.asarray(list(merged.values())))
 
-    nh = max(len(v) for v in htrial_vals)
-    h_keys = np.tile(np.asarray(dets.invalid_det(ham.n_words)), (t, nh, 1))
-    h_vals = np.zeros((t, nh))
-    for j in range(t):
-        h_keys[j, : len(htrial_vals[j])] = htrial_keys[j]
-        h_vals[j, : len(htrial_vals[j])] = htrial_vals[j]
-    h_keys = jnp.asarray(h_keys)
-    h_vals = jnp.asarray(h_vals)
+    if cfg.lowmem:
+        h_keys = h_vals = None
+    else:
+        nh = max(len(v) for v in htrial_vals)
+        h_keys = np.tile(np.asarray(dets.invalid_det(ham.n_words)), (t, nh, 1))
+        h_vals = np.zeros((t, nh))
+        for j in range(t):
+            h_keys[j, : len(htrial_vals[j])] = htrial_keys[j]
+            h_vals[j, : len(htrial_vals[j])] = htrial_vals[j]
+        h_keys = jnp.asarray(h_keys)
+        h_vals = jnp.asarray(h_vals)
     t_keys = jnp.asarray(trial_keys)
     t_vals = jnp.asarray(trial_vals)
+    t_occ = dets.occ_list(t_keys, ham.n_bits, n_elec)
+    t_valid = ~dets.is_invalid(t_keys)
+    t_diag_rel = jnp.where(
+        t_valid,
+        mol.diag_matrel(ham, t_occ) - hf_en,
+        0.0,
+    )
 
     # initial arena: union of trial dets with each row = trial vector
     all_keys = np.asarray(trial_keys).reshape(-1, ham.n_words)
@@ -150,6 +221,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
                 init_vals[j, uniq[kk]] += tv[r]
     init_occ = dets.occ_list(jnp.asarray(init_keys), ham.n_bits, n_elec)
     init_diag = mol.diag_matrel(ham, init_occ) - hf_en
+    if cfg.spin_parity:
+        from fries_tpu.ops import time_reversal as tr_mod
+
+        delta0, _ = tr_mod.tr_diag(
+            ham, jnp.asarray(init_keys), init_occ, cfg.spin_parity
+        )
+        init_diag = init_diag + delta0
 
     a = ar.make(cfg.capacity, ham.n_words, t, n_elec)
     a = ar.from_unsorted(a, jnp.asarray(init_keys), jnp.asarray(init_vals),
@@ -163,15 +241,20 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         iterat=jnp.int32(0),
     )
 
+    axis = cfg.axis_name
+
+    def gsum(x):
+        return lax.psum(x, axis) if axis else x
+
     @jax.jit
     def step(state: SubspaceState):
         a = state.arena
         key_iter = jax.random.fold_in(state.key, state.iterat)
 
         # ---- 1. normalize by the norm-factor controller ----
-        norms = jnp.stack(
+        norms = gsum(jnp.stack(
             [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
-        )
+        ))
         do_shift = (state.iterat + 1) % cfg.shift_interval == 0
         nf_new, ln_new = compress.adjust_shift2(
             state.norm_factors, norms, state.last_norms, cfg.shift_damping
@@ -189,10 +272,37 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
                 row = a.vals[j]
                 g = jnp.where(found, row[pos], 0.0).reshape(qkeys.shape[0], -1)
                 out.append(jnp.sum(g * qvals, axis=1))
-            return jnp.stack(out, axis=1)  # (T_query, T_vec)
+            return gsum(jnp.stack(out, axis=1))  # (T_query, T_vec)
 
         d_mat = dots(t_keys, t_vals)
-        h_mat = dots(h_keys, h_vals)
+        if cfg.lowmem:
+            # <trial_i|(H - e_ref)|v_j> on the fly: enumerate H|trial_i> per
+            # trial vector (small, fixed) and dot the spawns against the
+            # arena rows; no stored H*trial
+            h_rows = []
+            for i in range(t):
+                tw, ta, _ = mol.exact_offdiag_batch(
+                    ham, tmpl, t_keys[i], t_occ[i],
+                    jnp.where(t_valid[i], t_vals[i], 0.0), 1.0,
+                )
+                fw = tw.reshape(-1, ham.n_words)
+                fa = ta.reshape(-1)
+                pos_o, found_o = dets.lookup_dets(a.keys, fw)
+                pos_t, found_t = dets.lookup_dets(a.keys, t_keys[i])
+                row_i = []
+                for j in range(t):
+                    off = jnp.sum(
+                        jnp.where(found_o, a.vals[j][pos_o], 0.0) * fa
+                    )
+                    dia = jnp.sum(
+                        jnp.where(found_t, a.vals[j][pos_t], 0.0)
+                        * t_vals[i] * t_diag_rel[i]
+                    )
+                    row_i.append(off + dia)
+                h_rows.append(jnp.stack(row_i))
+            h_mat = jnp.stack(h_rows)
+        else:
+            h_mat = dots(h_keys, h_vals)
 
         # ---- 3. restart recombination ----
         do_restart = (state.iterat + 1) % cfg.restart_int == 0
@@ -201,9 +311,11 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             m = d_mat - cfg.eps * h_mat
             rinv = jnp.linalg.inv(jnp.linalg.qr(m)[1])
             new_vals = jnp.einsum("kj,kc->jc", rinv, vals)
-            old_norms = jnp.stack([jnp.sum(jnp.abs(vals[j])) for j in range(t)])
-            new_norms = jnp.stack(
-                [jnp.sum(jnp.abs(new_vals[j])) for j in range(t)]
+            old_norms = gsum(
+                jnp.stack([jnp.sum(jnp.abs(vals[j])) for j in range(t)])
+            )
+            new_norms = gsum(
+                jnp.stack([jnp.sum(jnp.abs(new_vals[j])) for j in range(t)])
             )
             scale = old_norms / jnp.maximum(new_norms, 1e-300)
             return new_vals * scale[:, None]
@@ -211,17 +323,36 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         vals = jnp.where(do_restart, restarted(a.vals), a.vals)
         a = ar.Arena(a.keys, vals, a.occ, a.diag, a.n_used)
 
-        # ---- 4. per-row compression ----
+        # ---- 4. per-row compression (reference compress_vecs pivotal
+        # default, vec_utils.cpp:10-71; sys and two-level multinomial
+        # variants selectable) ----
         comp_rows = []
         for j in range(t):
             vj = jnp.where(a.valid, a.vals[j], 0.0)
-            keep, n_left, loc_norm = compress.find_preserve(
-                jnp.abs(vj), cfg.vec_nonz
-            )
-            rn = jax.random.uniform(
-                jax.random.fold_in(key_iter, 100 + j), dtype=jnp.float64
-            )
-            comp_rows.append(compress.sys_comp(vj, keep, n_left, rn, loc_norm))
+            kj = jax.random.fold_in(key_iter, 100 + j)
+            if cfg.compress_mode == "piv":
+                comp_rows.append(
+                    compress.piv_comp(kj, vj, cfg.vec_nonz, axis_name=axis)
+                )
+            elif cfg.compress_mode == "multi":
+                keep, n_left, loc_norm = compress.find_preserve(
+                    jnp.abs(vj), cfg.vec_nonz, axis_name=axis
+                )
+                comp_rows.append(
+                    compress.multi_comp(
+                        kj, vj, keep, n_left, loc_norm, axis_name=axis
+                    )
+                )
+            else:
+                keep, n_left, loc_norm = compress.find_preserve(
+                    jnp.abs(vj), cfg.vec_nonz, axis_name=axis
+                )
+                rn = jax.random.uniform(kj, dtype=jnp.float64)
+                comp_rows.append(
+                    compress.sys_comp(
+                        vj, keep, n_left, rn, loc_norm, axis_name=axis
+                    )
+                )
         vals = jnp.stack(comp_rows)
         a = ar.Arena(a.keys, vals, a.occ, a.diag, a.n_used)
         any_nonzero = jnp.any(vals != 0, axis=0)
@@ -231,9 +362,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         all_words, all_amps, all_occ, all_diag, all_ini, all_rows = (
             [], [], [], [], [], []
         )
-        norms_now = jnp.stack(
+        norms_now = gsum(jnp.stack(
             [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
-        )
+        ))
         overflow = jnp.bool_(False)
         for j in range(t):
             vj = jnp.where(a.valid, a.vals[j], 0.0)
@@ -259,6 +390,25 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         si = jnp.concatenate(all_ini)
         sr = jnp.concatenate(all_rows)
 
+        if axis and cfg.n_shards > 1:
+            # route spawns to their owning shards (Adder::perform_add)
+            from fries_tpu.runtime import shard as sh
+
+            cap = cfg.exchange_cap or max(1, 2 * sa.shape[0] // cfg.n_shards)
+            target = sh.shard_of_words(sw, cfg.n_shards)
+            received, exch_ovf = sh.exchange(
+                {"keys": sw, "amps": sa, "occ": so, "diag": sd, "ini": si,
+                 "rows": sr},
+                target, cfg.n_shards, cap, axis,
+            )
+            sw = received["keys"]
+            sa = jnp.where(~dets.is_invalid(sw), received["amps"], 0.0)
+            so = received["occ"]
+            sd = received["diag"]
+            si = received["ini"]
+            sr = received["rows"]
+            overflow |= exch_ovf
+
         # death on every row, then merge spawns
         death = 1 - cfg.eps * a.diag
         dvals = jnp.where(a.valid[None, :], a.vals * death[None, :], 0.0)
@@ -271,8 +421,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             "d_mat": d_mat,
             "norms": norms,
             "norm_factors": norm_factors,
-            "n_dets": a2.n_used,
-            "overflow": overflow,
+            "n_dets": gsum(a2.n_used),
+            "overflow": (
+                gsum(overflow.astype(jnp.int32)) > 0 if axis else overflow
+            ),
         }
         return (
             SubspaceState(a2, norm_factors, last_norms, state.key, state.iterat + 1),
@@ -294,3 +446,32 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         "htrial_vals": h_vals,
     }
     return step, run_steps, state, aux
+
+
+def build_sharded(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
+                  trial_keys, trial_vals, seed: int, mesh):
+    """Hash-sharded subspace iteration over a 1-D mesh (BASELINE.md requires
+    subsp_mol sharded; the TPU analogue of the reference's MPI layout).
+    ``cfg.capacity`` is per shard; budgets are global."""
+    from fries_tpu import parallel
+
+    assert cfg.axis_name and cfg.n_shards == mesh.devices.size
+    step, run_steps, state0, aux = build(ham, cfg, trial_keys, trial_vals, seed)
+    a = state0.arena
+    live = np.asarray(a.valid)
+    keys = np.asarray(a.keys)[live]
+    vals = np.asarray(a.vals)[:, live]
+    occ = np.asarray(a.occ)[live]
+    diag = np.asarray(a.diag)[live]
+    gk, gv, go, gd, gn = parallel.distribute_rows(
+        keys, vals, occ, diag, cfg.n_shards, cfg.capacity
+    )
+    st = SubspaceState(
+        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        norm_factors=state0.norm_factors,
+        last_norms=state0.last_norms,
+        key=state0.key,
+        iterat=state0.iterat,
+    )
+    sstep, srun = parallel.shard_subspace(step, run_steps, mesh, cfg.axis_name)
+    return sstep, srun, st, aux

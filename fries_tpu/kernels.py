@@ -93,6 +93,43 @@ def take_along_small(rows: jax.Array, j: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
 
 
+def count_matmul_f64(counts: jax.Array, table: jax.Array,
+                     n_splits: int = 5) -> jax.Array:
+    """``counts @ table`` with f64-accurate results on the f32 MXU.
+
+    TPU has no f64 matmul (XLA emulates it scalar-slow).  For small-integer
+    ``counts`` (occupancy vectors, values in 0..~4) the Ozaki-style
+    error-free split applies: write table = sum_i 2^(-12 i) * T_i with T_i
+    integer-valued f32 chunks; every product count * T_i and every K-term
+    accumulation stays below 2^24, so each f32 matmul is EXACT and the f64
+    recombination loses nothing beyond the 12*n_splits-bit truncation of the
+    table (~2^-60 relative at the default 5 splits).
+
+    Args:
+      counts: (..., K) f32/f64 with small nonnegative integer values.
+      table:  (K, N) f64.
+    Returns (..., N) f64.
+    """
+    c32 = counts.astype(jnp.float32)
+    scale = jnp.exp2(
+        jnp.ceil(jnp.log2(jnp.maximum(jnp.max(jnp.abs(table)), 1e-300)))
+    )
+    rem = table / scale  # |rem| <= 1
+    out = jnp.zeros(counts.shape[:-1] + (table.shape[1],), jnp.float64)
+    for i in range(n_splits):
+        chunk = jnp.round(rem * (1 << 12))
+        rem = rem * (1 << 12) - chunk
+        part = lax.dot_general(
+            c32, chunk.astype(jnp.float32),
+            (((c32.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + part.astype(jnp.float64) * (
+            scale * 2.0 ** (-12 * (i + 1))
+        )
+    return out
+
+
 def rank_place(values: jax.Array, mask: jax.Array, n_out: int,
                fill) -> jax.Array:
     """Dense packing along the last axis without a scatter: output slot r

@@ -276,30 +276,35 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
     o1s, o2s, u1s, u2s = o1 % n_orb, o2 % n_orb, u1 % n_orb, u2 % n_orb
     o1_spin, o2_spin = o1 // n_orb, o2 // n_orb
     same = o1_spin == o2_spin
-    occ_sp = occ % n_orb
-    occ_spin = (jnp.arange(n_elec) >= half).astype(jnp.int32)[None, :]
 
-    s_denom = jnp.sum(kernels.take_small(tens.s_tens, occ_sp), axis=-1)
+    # occupancy indicator vectors straight from the unpacked bits: the
+    # per-electron sums over the occupied list become (B, n_orb) dots
+    n_alpha = occ_bits[:, :n_orb].astype(jnp.float64)
+    n_beta = occ_bits[:, n_orb : 2 * n_orb].astype(jnp.float64)
+    n_tot = n_alpha + n_beta
 
-    # stacked d-denominators and e-virt sums for o1 and o2 (one fused pass
-    # instead of four separate gather/reduce chains - per-kernel dispatch
-    # overhead dominates on TPU-over-tunnel setups)
-    o_sp2 = jnp.stack([o1s, o2s])              # (2, B)
-    o_spin2 = jnp.stack([o1_spin, o2_spin])
-    same_e2 = occ_spin[None] == o_spin2[..., None]      # (2, B, E)
-    occ_sp2 = jnp.broadcast_to(occ_sp[None], (2,) + occ_sp.shape)
-    w_same2 = kernels.take2_small(tens.d_same, o_sp2, occ_sp2)
-    w_diff2 = kernels.take2_small(tens.d_diff, o_sp2, occ_sp2)
-    d_denoms = jnp.sum(jnp.where(same_e2, w_same2, w_diff2), axis=-1)
-    d1_denom, d2_denom = d_denoms[0], d_denoms[1]
+    s_denom = jnp.sum(tens.s_tens * n_tot, axis=-1)
 
-    occ_exch2 = jnp.where(
-        same_e2, kernels.take2_small(tens.exch_sqrt, o_sp2, occ_sp2), 0.0
+    rows_ds1 = kernels.take_rows_small(tens.d_same, o1s)
+    rows_dd1 = kernels.take_rows_small(tens.d_diff, o1s)
+    rows_ds2 = kernels.take_rows_small(tens.d_same, o2s)
+    rows_dd2 = kernels.take_rows_small(tens.d_diff, o2s)
+    rows_o1 = kernels.take_rows_small(tens.exch_sqrt, o1s)
+    rows_o2 = kernels.take_rows_small(tens.exch_sqrt, o2s)
+
+    n_same1 = jnp.where((o1_spin == 0)[:, None], n_alpha, n_beta)
+    n_diff1 = jnp.where((o1_spin == 0)[:, None], n_beta, n_alpha)
+    n_same2 = jnp.where((o2_spin == 0)[:, None], n_alpha, n_beta)
+    n_diff2 = jnp.where((o2_spin == 0)[:, None], n_beta, n_alpha)
+
+    d1_denom = jnp.sum(rows_ds1 * n_same1 + rows_dd1 * n_diff1, axis=-1)
+    d2_denom = jnp.sum(rows_ds2 * n_same2 + rows_dd2 * n_diff2, axis=-1)
+    e1_virt = kernels.take_small(tens.exch_norms, o1s) - jnp.sum(
+        rows_o1 * n_same1, axis=-1
     )
-    e_virts = kernels.take_small(tens.exch_norms, o_sp2) - jnp.sum(
-        occ_exch2, axis=-1
+    e2_virt = kernels.take_small(tens.exch_norms, o2s) - jnp.sum(
+        rows_o2 * n_same2, axis=-1
     )
-    e1_virt, e2_virt = e_virts[0], e_virts[1]
 
     u1_irrep = kernels.take_small(symm, u1s)
     u2_irrep = kernels.take_small(symm, u2s)
@@ -320,8 +325,6 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
         es[0], es[1], es[2], es[3]
     )
 
-    rows_o1 = kernels.take_rows_small(tens.exch_sqrt, o1s)
-    rows_o2 = kernels.take_rows_small(tens.exch_sqrt, o2s)
     exo1u1 = kernels.take_along_small(rows_o1, u1s)
     exo1u2 = kernels.take_along_small(rows_o1, u2s)
     exo2u1 = kernels.take_along_small(rows_o2, u1s)

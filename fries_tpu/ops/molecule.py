@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fries_tpu import dets
+from fries_tpu import dets, kernels
 
 N_IRREPS = 8  # <= 8 abelian irreps, XOR product table (molecule.hpp:14)
 
@@ -129,28 +129,42 @@ def sing_matr_el(ham: MolecularHamiltonian, o, u, occ):
     so = _spatial(ham, o)
     su = _spatial(ham, u)
     spin_o = _spin(ham, o)
-    mel = ham.hcore[so, su]
-
-    # select the occupied entries from the row-gathered (..., T) slabs; a
-    # per-row take_along_axis keeps memory at (..., E) (an occupancy one-hot
-    # would materialize (..., E, T) - gigabytes at full spawn batches)
     occ_spa = _spatial(ham, occ)
     same_spin = _spin(ham, occ) == spin_o[..., None]
-    shape = jnp.broadcast_shapes(occ_spa.shape, same_spin.shape)
-    occ_b = jnp.broadcast_to(occ_spa, shape)
 
-    coul_row = coul3[so, su]          # (..., T)
-    exch_row = exch3[so, su]
-    coul_sel = jnp.take_along_axis(
-        jnp.broadcast_to(coul_row, shape[:-1] + (t,)), occ_b, axis=-1
-    )
-    exch_sel = jnp.take_along_axis(
-        jnp.broadcast_to(exch_row, shape[:-1] + (t,)), occ_b, axis=-1
-    )
-    mel = mel + jnp.sum(coul_sel, axis=-1)
-    mel = mel - jnp.sum(jnp.where(same_spin, exch_sel, 0.0), axis=-1)
+    if o.ndim == 1:
+        # sampled-excitation path: one-hot-matmul the (so, su) row out of the
+        # (T*T, T) slab, then dot with occupancy indicator vectors - no
+        # take_along_axis (scalar-gather path) anywhere
+        mel = kernels.take2_small(ham.hcore, so, su)
+        onehot = occ_spa[..., None] == jnp.arange(t, dtype=jnp.int32)
+        n_all = jnp.sum(onehot, axis=-2).astype(jnp.float64)
+        n_same = jnp.sum(
+            jnp.where(same_spin[..., None], onehot, False), axis=-2
+        ).astype(jnp.float64)
+        c = so * t + su
+        coul_row = kernels.take_rows_small(coul3.reshape(t * t, t), c)
+        exch_row = kernels.take_rows_small(exch3.reshape(t * t, t), c)
+        mel = mel + jnp.sum(coul_row * n_all, axis=-1)
+        mel = mel - jnp.sum(exch_row * n_same, axis=-1)
+    else:
+        # enumeration path (exact H application): (B, NS) candidates share
+        # occ rows; the one-hot-matmul row select would materialize
+        # (B, NS, T*T), so keep per-row take_along selection here
+        shape = jnp.broadcast_shapes(occ_spa.shape, same_spin.shape)
+        occ_b = jnp.broadcast_to(occ_spa, shape)
+        mel = ham.hcore[so, su]
+        coul_row = coul3[so, su]          # (..., T)
+        exch_row = exch3[so, su]
+        coul_sel = jnp.take_along_axis(
+            jnp.broadcast_to(coul_row, shape[:-1] + (t,)), occ_b, axis=-1
+        )
+        exch_sel = jnp.take_along_axis(
+            jnp.broadcast_to(exch_row, shape[:-1] + (t,)), occ_b, axis=-1
+        )
+        mel = mel + jnp.sum(coul_sel, axis=-1)
+        mel = mel - jnp.sum(jnp.where(same_spin, exch_sel, 0.0), axis=-1)
     if half_frz:
-        frz = jnp.arange(half_frz)
         mel = mel + 2 * jnp.sum(coul_row[..., :half_frz], axis=-1)
         mel = mel - jnp.sum(exch_row[..., :half_frz], axis=-1)
     return mel
@@ -193,14 +207,19 @@ def diag_matrel(ham: MolecularHamiltonian, occ):
     c_diag = jnp.diagonal(coul2)
     x_diag = jnp.diagonal(exch2)
 
-    total = n_vec @ h_diag
-    nc = n_vec @ coul2
-    total = total + 0.5 * (jnp.sum(nc * n_vec, axis=-1) - n_vec @ c_diag)
-    ax = a_vec @ exch2
-    bx = b_vec @ exch2
+    # occupancy-vector contractions: f64 matmuls are emulated (slow) on
+    # TPU, so the (.., T) @ (T, T) products use the error-free integer-split
+    # f32 form and the (.., T) @ (T,) products plain elementwise f64 sums
+    total = jnp.sum(n_vec * h_diag, axis=-1)
+    nc = kernels.count_matmul_f64(n_vec, coul2)
+    total = total + 0.5 * (
+        jnp.sum(nc * n_vec, axis=-1) - jnp.sum(n_vec * c_diag, axis=-1)
+    )
+    ax = kernels.count_matmul_f64(a_vec, exch2)
+    bx = kernels.count_matmul_f64(b_vec, exch2)
     total = total - 0.5 * (
-        jnp.sum(ax * a_vec, axis=-1) - a_vec @ x_diag
-        + jnp.sum(bx * b_vec, axis=-1) - b_vec @ x_diag
+        jnp.sum(ax * a_vec, axis=-1) - jnp.sum(a_vec * x_diag, axis=-1)
+        + jnp.sum(bx * b_vec, axis=-1) - jnp.sum(b_vec * x_diag, axis=-1)
     )
 
     if half_frz:
@@ -213,7 +232,7 @@ def diag_matrel(ham: MolecularHamiltonian, occ):
         )
         # frozen-active interaction: sum_p n_p sum_f (2 C[p,f] - X[p,f])
         fa = jnp.sum(2 * coul2[:, :half_frz] - exch2[:, :half_frz], axis=1)
-        total = total + core + n_vec @ fa
+        total = total + core + jnp.sum(n_vec * fa, axis=-1)
     return total
 
 

@@ -162,6 +162,92 @@ def adjust_exact(ham: mol.MolecularHamiltonian, parent_words, parent_occ,
     return target, mel_out
 
 
+def adjust_sampled(ham: mol.MolecularHamiltonian, tens, symm, counts,
+                   n_occ_allowed, parent_words, parent_occ, occ_bits,
+                   new_words, mel_signed, sel_w, spin_parity: int,
+                   p_doub, unnorm: bool):
+    """Fold a *sampled* excitation onto the time-reversal symmetrized basis
+    (the spin_parity branch of apply_HBPP_piv, heat_bathPP.cpp:1326-1407).
+
+    Unlike the exact fold, the stochastic estimator must also account for
+    the reverse (spin-flipped) excitation being independently sampleable:
+    the reference ADDS the reverse excitation's selection weight to
+    ``tot_weight`` so either sampled path contributes the full folded
+    element divided by the union probability.
+
+    Args:
+      tens: HeatBathTensors;  symm (n_orb,);  counts (B, 8, 2) unoccupied
+        per (irrep, spin);  n_occ_allowed (B,) electrons with any single.
+      new_words (B, W) sampled target; mel_signed (B,) signed H element;
+      sel_w (B,) the direct selection weight (p_doub * tot for doubles,
+        (1-p_doub)/(n_occ*n_virt) for singles).
+
+    Returns (target_words, mel_out, w_out, keep): amp = value *
+    mel_out / w_out for kept rows; target is the canonical representative.
+    """
+    from fries_tpu import kernels
+    from fries_tpu.ops import heat_bath as hb
+
+    n_orb = ham.n_orb
+    flipped_parent = flip(ham, parent_words)
+    parent_self = dets.det_eq(parent_words, flipped_parent)
+    norm = jnp.where(parent_self, jnp.sqrt(2.0), 1.0)
+
+    flipped_new = flip(ham, new_words)
+    drop_conj = dets.det_eq(flipped_new, parent_words)
+    new_self = dets.det_eq(new_words, flipped_new)
+
+    # reverse excitation parent -> T(new)
+    ex = _excitation_between(ham, parent_words, flipped_new)
+    nb = ham.n_bits
+    o1c = jnp.clip(ex["o1"], 0, nb - 1)
+    o2c = jnp.clip(ex["o2"], 0, nb - 1)
+    u1c = jnp.clip(ex["u1"], 0, nb - 1)
+    u2c = jnp.clip(ex["u2"], 0, nb - 1)
+    sym_o1 = kernels.take_small(symm, o1c % n_orb)
+    sym_o2 = kernels.take_small(symm, o2c % n_orb)
+    sym_u1 = kernels.take_small(symm, u1c % n_orb)
+    sym_u2 = kernels.take_small(symm, u2c % n_orb)
+    rev_sing = (ex["n_diff"] == 1) & (sym_o1 == sym_u1)
+    rev_doub = (ex["n_diff"] == 2) & ((sym_o1 ^ sym_o2 ^ sym_u1 ^ sym_u2) == 0)
+    rev_allowed = (rev_sing | rev_doub) & ~new_self
+
+    rev_mel = _element_between(ham, parent_words, parent_occ, ex)
+
+    # reverse selection weight under the same distribution
+    if unnorm:
+        rev_tot_d = hb.unnorm_weight(tens, n_orb, o1c, o2c, u1c, u2c)
+    else:
+        rev_tot_d = hb.norm_weight(
+            tens, n_orb, ham.n_elec, symm, None, parent_occ, occ_bits,
+            o1c, o2c, u1c, u2c,
+        )
+    key16 = sym_u1 * 2 + (o1c // n_orb)
+    n_virt_rev = kernels.take_along_small(
+        counts.reshape(counts.shape[0], 16)[:, None, :], key16[:, None]
+    )[:, 0].astype(jnp.float64)
+    rev_w_s = (1.0 - p_doub) / jnp.maximum(
+        n_occ_allowed.astype(jnp.float64) * n_virt_rev, 1e-300
+    )
+    rev_w = jnp.where(rev_sing, rev_w_s, rev_tot_d * p_doub)
+
+    mel_out = mel_signed + jnp.where(
+        rev_allowed, rev_mel * float(spin_parity), 0.0
+    )
+    w_out = sel_w + jnp.where(rev_allowed, rev_w, 0.0)
+
+    # self-conjugate target: both excitations coincide (x2 element, sqrt(2)
+    # extra norm); forbidden in the odd sector
+    mel_out = jnp.where(new_self, 2.0 * mel_signed, mel_out)
+    norm = norm * jnp.where(new_self, jnp.sqrt(2.0), 1.0)
+    keep = ~drop_conj & ~(new_self & (spin_parity == -1))
+
+    take_flip = dets.det_less(flipped_new, new_words)
+    target = jnp.where(take_flip[..., None], flipped_new, new_words)
+    mel_out = jnp.where(take_flip, mel_out * float(spin_parity), mel_out)
+    return target, mel_out / norm, w_out, keep
+
+
 def tr_diag(ham: mol.MolecularHamiltonian, words, occ, spin_parity: int):
     """Folded-basis diagonal adjustment (subsp_mol.cpp:122-147):
 
@@ -199,3 +285,53 @@ def tr_diag(ham: mol.MolecularHamiltonian, words, occ, spin_parity: int):
     delta = jnp.where(doubly, spin_parity * mel * sign, 0.0)
     forbid = self_conj & (spin_parity == -1)
     return delta, forbid
+
+
+def fold_vector_host(ham: mol.MolecularHamiltonian, keys, vals,
+                     spin_parity: int):
+    """Host-side folding of a sparse vector onto canonical representatives
+    (subsp_mol.cpp:207-224): canonical = min(det, T det); amplitude picks up
+    the parity when the flip is canonical and 1/sqrt(2) for non-self-
+    conjugate entries; duplicate canonical keys merge.  Odd-sector
+    self-conjugate entries are dropped (they do not exist in that sector).
+
+    Returns (keys (M, W), vals (M,)) numpy arrays.
+    """
+    import numpy as np
+
+    keys = np.asarray(keys)
+    vals = np.asarray(vals, dtype=np.float64)
+    live = vals != 0
+    keys = keys[live]
+    vals = vals[live]
+    flipped = np.asarray(flip(ham, jnp.asarray(keys)))
+    merged: dict = {}
+    for i in range(keys.shape[0]):
+        k = keys[i]
+        f = flipped[i]
+        cmp = 0
+        for w in range(k.shape[0] - 1, -1, -1):
+            if k[w] != f[w]:
+                cmp = 1 if k[w] > f[w] else -1
+                break
+        v = vals[i]
+        if cmp == 0:
+            if spin_parity == -1:
+                continue
+            canon = k
+        else:
+            v /= np.sqrt(2.0)
+            if cmp > 0:
+                canon = f
+                v *= spin_parity
+            else:
+                canon = k
+        tk = tuple(int(x) for x in canon)
+        merged[tk] = merged.get(tk, 0.0) + v
+    if not merged:
+        return (
+            np.zeros((0, keys.shape[1]), np.uint32), np.zeros((0,), np.float64)
+        )
+    out_k = np.asarray(list(merged.keys()), np.uint32)
+    out_v = np.asarray(list(merged.values()), np.float64)
+    return out_k, out_v

@@ -57,6 +57,8 @@ def metrics_spec():
         "n_dets": P(),
         "n_ini": P(),
         "nkept": P(),
+        "nnonz": P(),
+        "sgn_coh": P(),
         "overflow": P(),
     }
 
@@ -148,5 +150,38 @@ def shard_stepper(step, run_steps, mesh: Mesh, axis: str = AXIS):
             )
         )
         return fn(state, num_keys, num_vals, den_keys, den_vals, ref_key)
+
+    return sharded_step, sharded_run
+
+
+def shard_subspace(step, run_steps, mesh: Mesh, axis: str = AXIS):
+    """shard_map wiring for the multi-state subspace driver (BASELINE.md:
+    hash-sharded subsp_mol)."""
+    from fries_tpu.drivers import subspace as ss
+
+    sspec = ss.SubspaceState(
+        arena=arena_spec(axis), norm_factors=P(), last_norms=P(),
+        key=P(), iterat=P(),
+    )
+    mspec = {
+        "h_mat": P(), "d_mat": P(), "norms": P(), "norm_factors": P(),
+        "n_dets": P(), "overflow": P(),
+    }
+    sharded_step = jax.jit(
+        jax.shard_map(
+            step, mesh=mesh, in_specs=(sspec,), out_specs=(sspec, mspec),
+            check_vma=False,
+        )
+    )
+
+    def sharded_run(state, n_iter: int):
+        fn = jax.jit(
+            jax.shard_map(
+                lambda s: run_steps(s, n_iter),
+                mesh=mesh, in_specs=(sspec,), out_specs=(sspec, mspec),
+                check_vma=False,
+            )
+        )
+        return fn(state)
 
     return sharded_step, sharded_run

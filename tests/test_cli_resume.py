@@ -1,0 +1,39 @@
+"""CLI checkpoint/resume: a killed run restarts from its checkpoint.npz
+(reference frisys_mol.cpp:257-263 shift resume + DistVec::load)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from fries_tpu import synth, io, cli
+
+
+def test_cli_resume(tmp_path):
+    ham = synth.make_system(5, 4, seed=2)
+    fcid = str(tmp_path / "FCIDUMP")
+    io.write_fcidump(ham, fcid)
+    rdir = str(tmp_path / "run")
+
+    common = [
+        "frisys_mol", "--fcidump_path", fcid, "--epsilon", "0.05",
+        "--vec_nonz", "60", "--mat_nonz", "200", "--max_dets", "512",
+        "--max_iter", "6", "--save_interval", "3", "--target", "80",
+        "--result_dir", rdir, "--seed", "3",
+    ]
+    cli.main(common)
+    with np.load(os.path.join(rdir, "checkpoint.npz")) as z:
+        ck = {k: z[k].copy() for k in z.files}  # materialize before overwrite
+    assert int(ck["iterat"]) == 6
+    n_lines_first = len(open(os.path.join(rdir, "projnum.txt")).readlines())
+    assert n_lines_first == 6
+
+    cli.main(common + ["--load_dir", rdir])
+    ck2 = np.load(os.path.join(rdir, "checkpoint.npz"))
+    # resumed at 6, ran 6 more
+    assert int(ck2["iterat"]) == 12
+    # streams append across the restart (reference append-mode files)
+    assert len(open(os.path.join(rdir, "projnum.txt")).readlines()) == 12
+    # the resumed run continued from the checkpointed vector, not from scratch
+    assert int(ck2["n_used"][0]) >= int(ck["n_used"][0]) // 2
+    assert not np.array_equal(ck2["vals"], ck["vals"])

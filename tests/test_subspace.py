@@ -124,3 +124,49 @@ def test_norm_relative_initiator(system):
     step0, run_steps0, state0, _ = subspace.build(ham, cfg0, t_keys, t_vals, seed=3)
     state0, traj0 = run_steps0(state0, 40)
     assert np.asarray(traj0["n_dets"]).reshape(-1).max() > n0
+
+
+def test_lowmem_hmat_matches_stored(system):
+    """subsp_mol_lowmem: on-the-fly <trial|H|v> (calc_h_dot,
+    molecule.cpp:667-885) equals the stored-H*trial projection."""
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 12)
+    common = dict(
+        eps=0.05, n_trial=2, vec_nonz=60, matr_samp=250, capacity=160,
+        spawn_cap=1024, restart_int=10,
+    )
+    cfg_a = subspace.SubspaceConfig(**common)
+    cfg_b = subspace.SubspaceConfig(**common, lowmem=True)
+    _, run_a, st_a, _ = subspace.build(ham, cfg_a, t_keys, t_vals, seed=5)
+    _, run_b, st_b, _ = subspace.build(ham, cfg_b, t_keys, t_vals, seed=5)
+    st_a, tr_a = run_a(st_a, 30)
+    st_b, tr_b = run_b(st_b, 30)
+    # identical seeds -> identical trajectories; h_mat must agree exactly
+    np.testing.assert_allclose(
+        np.asarray(tr_a["h_mat"]), np.asarray(tr_b["h_mat"]),
+        rtol=1e-9, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_a["d_mat"]), np.asarray(tr_b["d_mat"]), rtol=1e-12
+    )
+
+
+def test_subspace_compress_modes(system):
+    """sys / piv / multi vector compression all converge on the 2-state
+    problem (reference offers pivotal as the production default)."""
+    ham, dense_h, basis, evals, evecs = system
+    t_keys, t_vals = make_trials(ham, basis, evecs, 2, 12)
+    for mode in ("sys", "multi"):
+        cfg = subspace.SubspaceConfig(
+            eps=0.05, n_trial=2, vec_nonz=60, matr_samp=250, capacity=160,
+            spawn_cap=1024, restart_int=10, compress_mode=mode,
+        )
+        _, run_steps, state, aux = subspace.build(
+            ham, cfg, t_keys, t_vals, seed=3
+        )
+        state, traj = run_steps(state, 1200)
+        assert not bool(np.asarray(traj["overflow"]).any()), mode
+        energies = linalg.subspace_energies(
+            traj["h_mat"], traj["d_mat"], burn_in=400
+        ) + float(aux["e_ref"])
+        assert abs(energies[0] - evals[0]) < 0.05, (mode, energies)

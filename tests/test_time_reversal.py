@@ -136,3 +136,79 @@ def test_frifull_time_reversal_even_sector(system):
     assert not bool(np.asarray(traj["overflow"]).any())
     e_est = np.asarray(traj["proj_num"])[-1] / np.asarray(traj["proj_den"])[-1]
     np.testing.assert_allclose(float(aux["e_ref"]) + e_est, e0_even, atol=3e-4)
+
+
+def test_sampled_tr_fold_matches_exact(system):
+    """frisys HB-PP spawner with spin_parity: in the large-budget limit the
+    folded sampled spawns reproduce the exact folded H application
+    (apply_HBPP_piv spin_parity branch, heat_bathPP.cpp:1326-1407)."""
+    import jax
+    from fries_tpu.drivers import frisys
+    from fries_tpu.ops import heat_bath as hb
+
+    ham, dense_h, basis = system
+    n_orb, n_elec = ham.n_orb, ham.n_elec
+    syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
+    tens = hb.setup(ham)
+    p_doub = frisys.hf_p_doub(ham, syminfo)
+    hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+
+    # folded start vector: HF (self-conjugate) + one canonical excited det
+    d2, _ = dets.double_parity(
+        hf_words[None], jnp.asarray([0]), jnp.asarray([n_orb]),
+        jnp.asarray([3]), jnp.asarray([n_orb + 3]),
+    )
+    keys = jnp.concatenate([hf_words[None], d2])
+    canon, fac, selfc = tr.canonicalize(ham, keys, 1)
+    keys = canon
+    occ = dets.occ_list(keys, 2 * n_orb, n_elec)
+    vals = jnp.asarray([1.0, -0.4])
+
+    for parity in (1, -1):
+        if parity == -1:
+            use = ~np.asarray(dets.det_eq(keys, tr.flip(ham, keys)))
+            v_use = jnp.where(jnp.asarray(use), vals, 0.0)
+        else:
+            v_use = vals
+        cfg = frisys.FrisysConfig(
+            eps=0.01, vec_nonz=64, matr_samp=200000, capacity=8,
+            spawn_cap=2048, spin_parity=parity, stage_f32=False,
+        )
+        spawn = frisys.make_hbpp_spawner(
+            ham, tens, syminfo, p_doub, cfg, e_ref=0.0
+        )
+        w, amp, _, _, _ = jax.jit(spawn)(
+            keys, occ, v_use, -cfg.eps, jax.random.key(0)
+        )
+        got = {}
+        wn = np.asarray(w)
+        an = np.asarray(amp)
+        for i in range(len(an)):
+            if an[i] != 0:
+                k = tuple(int(x) for x in wn[i])
+                got[k] = got.get(k, 0.0) + an[i]
+
+        # exact folded reference: exact spawns + adjust_exact
+        tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
+        ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, keys, occ, v_use, -cfg.eps)
+        nc = ea.shape[1]
+        parents = jnp.repeat(keys, nc, axis=0)
+        pocc = jnp.repeat(occ, nc, axis=0)
+        scale = jnp.repeat(v_use, nc) * (-cfg.eps)
+        fw, fa = tr.adjust_exact(
+            ham, parents, pocc, ew.reshape(-1, ham.n_words), ea.reshape(-1),
+            parity, scale=scale,
+        )
+        want = {}
+        fwn = np.asarray(fw)
+        fan = np.asarray(fa)
+        for i in range(len(fan)):
+            if fan[i] != 0:
+                k = tuple(int(x) for x in fwn[i])
+                want[k] = want.get(k, 0.0) + fan[i]
+
+        for k in set(got) | set(want):
+            np.testing.assert_allclose(
+                got.get(k, 0.0), want.get(k, 0.0), rtol=1e-8, atol=1e-12,
+                err_msg=f"parity={parity} det={k}",
+            )
