@@ -105,6 +105,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         k_split, k_spawn, k_death, k_round = jax.random.split(key_iter, 4)
 
         vals0 = jnp.where(a.valid, a.vals[0], 0.0)
+        # occ / diag recomputed from keys (arena caches neither)
+        arena_occ = dets.occ_list(a.keys, 2 * n_orb, n_elec)
+        arena_diag = mol.diag_matrel_chunked(ham, arena_occ) - hf_en
         n_walk = jnp.abs(vals0)
         if cfg.integer_walkers:
             n_walk_int = jnp.round(n_walk).astype(jnp.int64)
@@ -120,7 +123,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         parent, valid, total = _attempt_parents(n_walk_int, a_cap)
         overflow = total > a_cap
 
-        p_occ = a.occ[parent]
+        p_occ = arena_occ[parent]
         p_keys = a.keys[parent]
         p_bits = dets.unpack_bits(p_keys, 2 * n_orb)
         counts = hb.unocc_symm_counts(n_orb, n_elec, symm, symm_counts, p_occ)
@@ -181,13 +184,11 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             new_words,
             jnp.asarray(dets.invalid_det(ham.n_words)),
         )
-        new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
-        new_diag = mol.diag_matrel_chunked(ham, new_occ) - hf_en
         ini = n_walk[parent] > cfg.init_thresh
 
         # death/cloning BEFORE merging spawns (fciqmc_mol.cpp:404-411):
         # spawned walkers land on the post-death populations
-        death_p = (1 - eps * (a.diag - state.en_shift)) * walk_sign
+        death_p = (1 - eps * (arena_diag - state.en_shift)) * walk_sign
         if cfg.integer_walkers:
             k_death2 = jax.random.fold_in(k_death, 1)
             new_v = jnp.sign(death_p) * compress.round_binomially(
@@ -203,23 +204,19 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             cap = cfg.exchange_cap or max(1, 2 * a_cap // cfg.n_shards)
             tgt = sh.shard_of_words(new_words, cfg.n_shards)
             received, exch_ovf = sh.exchange(
-                {"keys": new_words, "amps": spawn_val, "occ": new_occ,
-                 "diag": new_diag, "ini": ini},
+                {"keys": new_words, "amps": spawn_val, "ini": ini},
                 tgt, cfg.n_shards, cap, axis,
             )
             new_words = received["keys"]
             spawn_val = jnp.where(
                 ~dets.is_invalid(new_words), received["amps"], 0.0
             )
-            new_occ = received["occ"]
-            new_diag = received["diag"]
             ini = received["ini"]
             overflow |= exch_ovf
 
         a1 = ar.set_row(a, 0, new_v)
         a2, stats = ar.accumulate(
-            a1, new_words, spawn_val, new_occ, new_diag, ini,
-            origin_row=0, dest_row=0,
+            a1, new_words, spawn_val, ini, origin_row=0, dest_row=0,
         )
 
         final_v = jnp.where(a2.valid, a2.vals[0], 0.0)
@@ -284,11 +281,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
     htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
     htrial_vals = np.concatenate([[0.0], ta[keep]])
 
-    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
-    a = ar.from_unsorted(
-        a, hf_words[None], jnp.asarray([[init_walkers]]), hf_occ[None],
-        jnp.zeros((1,)),
-    )
+    a = ar.make(cfg.capacity, ham.n_words, 1)
+    a = ar.from_unsorted(a, hf_words[None], jnp.asarray([[init_walkers]]))
     state = FciqmcState(
         arena=a,
         en_shift=jnp.float64(0.0),
@@ -321,13 +315,12 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
     step, run_steps, state0, aux = build(ham, cfg, seed, init_walkers)
     a = state0.arena
     live = np.asarray(a.valid)
-    gk, gv, go, gd, gn = parallel.distribute_rows(
+    gk, gv, gn = parallel.distribute_rows(
         np.asarray(a.keys)[live], np.asarray(a.vals)[:, live],
-        np.asarray(a.occ)[live], np.asarray(a.diag)[live],
         cfg.n_shards, cfg.capacity,
     )
     st = FciqmcState(
-        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        arena=ar.Arena(keys=gk, vals=gv, n_used=gn),
         en_shift=state0.en_shift, last_norm=state0.last_norm,
         key=state0.key, iterat=state0.iterat,
     )

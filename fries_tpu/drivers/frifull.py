@@ -34,8 +34,11 @@ def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
     tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
 
-    def spawn_one(keys, occ, vals, h_fac, key):
-        new_words, amps, new_occ = mol.exact_offdiag_batch(
+    def spawn_one(keys, vals, h_fac, key):
+        from fries_tpu import dets as d
+
+        occ = d.occ_list(keys, ham.n_bits, ham.n_elec)
+        new_words, amps, _ = mol.exact_offdiag_batch(
             ham, tmpl, keys, occ, vals, h_fac
         )
         nc = amps.shape[1]
@@ -49,42 +52,28 @@ def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
                 ham, parents, pocc, flat_words, flat_amps, spin_parity,
                 scale=scale,
             )
-        flat_occ = dets_occ(flat_words)
-        flat_diag = mol.diag_matrel_chunked(ham, flat_occ) - hf_en
-        if spin_parity:
-            delta, forbid = tr_mod.tr_diag(ham, flat_words, flat_occ, spin_parity)
-            flat_diag = flat_diag + delta
-            flat_amps = jnp.where(forbid, 0.0, flat_amps)
         flat_ini = power.per_parent_ini(vals, cfg.init_thresh, nc)
-        return flat_words, flat_amps, flat_occ, flat_diag, flat_ini
+        return flat_words, flat_amps, flat_ini
 
-    def dets_occ(words):
-        from fries_tpu import dets as d
+    spawn_fn = power.chunked(spawn_one, cfg.capacity, cfg.batch, ham.n_words)
+    from fries_tpu.drivers import frisys as _frisys
 
-        return d.occ_list(words, ham.n_bits, ham.n_elec)
+    diag_fn = _frisys.make_diag_fn(ham, hf_en, spin_parity)
+    step, run_steps = power.make_stepper(spawn_fn, diag_fn, cfg)
 
-    spawn_fn = power.chunked(
-        spawn_one, cfg.capacity, cfg.batch, ham.n_words, ham.n_elec
-    )
-    step, run_steps = power.make_stepper(spawn_fn, cfg)
-
-    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
-    hf_diag0 = jnp.zeros((1,))
     if spin_parity:
         from fries_tpu.ops import time_reversal as _tr
 
-        delta, forbid = _tr.tr_diag(ham, hf_words[None], hf_occ[None], spin_parity)
+        _, forbid = _tr.tr_diag(ham, hf_words[None], hf_occ[None], spin_parity)
         assert not bool(forbid[0]) or spin_parity == 1, (
             "HF determinant is spin-flip self-conjugate; start the odd sector "
             "from an open-shell determinant"
         )
-        hf_diag0 = hf_diag0 + delta
+    a = ar.make(cfg.capacity, ham.n_words, 2)
     a = ar.from_unsorted(
         a,
         hf_words[None],
         jnp.asarray([[init_val], [0.0]]),
-        hf_occ[None],
-        hf_diag0,
     )
     state = power.fresh_state(a, seed)
     aux = {
@@ -110,27 +99,29 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig,
     tmpl = _mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
     hf_words, hf_occ, hf_en = _mol.hf_reference(ham)
 
-    def spawn_one(keys, occ, vals, h_fac, key):
-        new_words, amps, new_occ = _mol.exact_offdiag_batch(
+    def spawn_one(keys, vals, h_fac, key):
+        from fries_tpu import dets as d
+
+        occ = d.occ_list(keys, ham.n_bits, ham.n_elec)
+        new_words, amps, _ = _mol.exact_offdiag_batch(
             ham, tmpl, keys, occ, vals, h_fac
         )
         flat_words = new_words.reshape(-1, ham.n_words)
         flat_amps = amps.reshape(-1)
-        flat_occ = new_occ.reshape(-1, ham.n_elec)
-        flat_diag = _mol.diag_matrel_chunked(ham, flat_occ) - hf_en
         flat_ini = power.per_parent_ini(vals, cfg.init_thresh, amps.shape[1])
-        return flat_words, flat_amps, flat_occ, flat_diag, flat_ini
+        return flat_words, flat_amps, flat_ini
 
-    spawn_fn = power.chunked(
-        spawn_one, cfg.capacity, cfg.batch, ham.n_words, ham.n_elec
-    )
-    step, run_steps = power.make_stepper(spawn_fn, cfg)
+    spawn_fn = power.chunked(spawn_one, cfg.capacity, cfg.batch, ham.n_words)
+    from fries_tpu.drivers import frisys as _frisys
+
+    diag_fn = _frisys.make_diag_fn(ham, hf_en)
+    step, run_steps = power.make_stepper(spawn_fn, diag_fn, cfg)
     sharded_step, sharded_run = parallel.shard_stepper(
         step, run_steps, mesh, cfg.axis_name
     )
     state = parallel.sharded_state(
-        hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
-        jnp.zeros((1,)), cfg.n_shards, cfg.capacity, seed,
+        hf_words[None], jnp.asarray([[init_val], [0.0]]),
+        cfg.n_shards, cfg.capacity, seed,
     )
     aux = {
         "e_ref": hf_en,

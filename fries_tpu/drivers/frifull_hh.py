@@ -30,25 +30,24 @@ def build(ham: hub.HubbardHolstein, e_ref: float, cfg: power.PowerConfig,
     )
     neel_occ = hub.occ_list(ham, neel[None])[0]
 
-    def spawn_one(keys, occ, vals, h_fac, key):
+    def spawn_one(keys, vals, h_fac, key):
         new_words, amps = hub.offdiag_batch(ham, keys, vals, h_fac)
         flat_words = new_words.reshape(-1, ham.n_words)
         flat_amps = amps.reshape(-1)
-        flat_occ = hub.occ_list(ham, flat_words)
-        flat_diag = hub.diag_matrel(ham, flat_words) - e_ref
         flat_ini = power.per_parent_ini(vals, cfg.init_thresh, amps.shape[1])
-        return flat_words, flat_amps, flat_occ, flat_diag, flat_ini
+        return flat_words, flat_amps, flat_ini
 
-    spawn_fn = power.chunked(
-        spawn_one, cfg.capacity, cfg.batch, ham.n_words, ham.n_elec
-    )
-    step, run_steps = power.make_stepper(spawn_fn, cfg, estimator="direct")
+    spawn_fn = power.chunked(spawn_one, cfg.capacity, cfg.batch, ham.n_words)
 
-    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
-    diag0 = hub.diag_matrel(ham, neel[None]) - e_ref
-    a = ar.from_unsorted(
-        a, neel[None], jnp.asarray([[init_val], [0.0]]), neel_occ[None], diag0
+    def diag_fn(keys):
+        return hub.diag_matrel(ham, keys) - e_ref
+
+    step, run_steps = power.make_stepper(
+        spawn_fn, diag_fn, cfg, estimator="direct"
     )
+
+    a = ar.make(cfg.capacity, ham.n_words, 2)
+    a = ar.from_unsorted(a, neel[None], jnp.asarray([[init_val], [0.0]]))
     state = power.fresh_state(a, seed)
 
     conn_keys, conn_mels = hub.reference_connections(ham, neel, e_ref)

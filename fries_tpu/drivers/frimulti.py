@@ -28,6 +28,7 @@ from fries_tpu.drivers import power
 from fries_tpu.ops import heat_bath as hb
 from fries_tpu.ops import molecule as mol
 from fries_tpu.ops import near_uniform as nu
+from fries_tpu.drivers import frisys
 from fries_tpu.runtime import arena as ar
 
 
@@ -66,7 +67,8 @@ def make_spawner(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo,
     a_cap = cfg.spawn_cap
     m_samp = cfg.matr_samp
 
-    def spawn(keys, occ, vals, h_fac, key):
+    def spawn(keys, vals, h_fac, key):
+        occ = dets.occ_list(keys, 2 * n_orb, n_elec)
         absv = jnp.abs(vals)
         norm = jnp.sum(absv)
         unit = norm / m_samp
@@ -125,10 +127,8 @@ def make_spawner(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo,
         new_words = jnp.where(
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
-        new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
-        new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
         ini = jnp.abs(vals[parent]) > cfg.init_thresh
-        return new_words, amps, new_occ, new_diag, ini
+        return new_words, amps, ini
 
     return spawn
 
@@ -142,7 +142,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrimultiConfig, seed: int,
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
 
     spawn = make_spawner(ham, syminfo, p_doub, cfg, hf_en)
-    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
+    diag_fn = frisys.make_diag_fn(ham, hf_en)
+    step, run_steps = power.make_stepper(
+        spawn, diag_fn, cfg.power(), estimator="direct"
+    )
 
     tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
     tw, ta, _ = mol.exact_offdiag_batch(
@@ -154,11 +157,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrimultiConfig, seed: int,
     htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
     htrial_vals = np.concatenate([[0.0], ta[keep]])
 
-    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
-    a = ar.from_unsorted(
-        a, hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
-        jnp.zeros((1,)),
-    )
+    a = ar.make(cfg.capacity, ham.n_words, 2)
+    a = ar.from_unsorted(a, hf_words[None], jnp.asarray([[init_val], [0.0]]))
     state = power.fresh_state(a, seed)
     aux = {
         "e_ref": hf_en,

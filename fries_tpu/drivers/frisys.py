@@ -128,11 +128,13 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             **_ck,
         )
 
-    def spawn(keys, occ, vals, h_fac, key, thresh=None):
+    def spawn(keys, vals, h_fac, key, thresh=None):
         # ``thresh`` (optional, traced scalar) overrides the static initiator
         # cutoff; the subspace driver passes the norm-relative threshold
         # init_thresh * ||v||_1 / matr_samp (subsp_mol.cpp:522-523).
         c = keys.shape[0]
+        # occupied lists recomputed from keys (the arena caches none)
+        occ = dets.occ_list(keys, 2 * n_orb, n_elec)
         vals0_full = vals
         if determ is not None:
             dpos, dfound = dets.lookup_dets(keys, determ["keys"])
@@ -421,16 +423,6 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         new_words = jnp.where(
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
-        new_occ = dets.occ_list(new_words, 2 * n_orb, n_elec)
-        new_diag = mol.diag_matrel_chunked(ham, new_occ) - e_ref
-        if cfg.spin_parity:
-            # folded-basis diagonal (tr_diag, subsp_mol.cpp:122-147)
-            from fries_tpu.ops import time_reversal as tr_mod
-
-            tr_delta, _ = tr_mod.tr_diag(
-                ham, new_words, new_occ, cfg.spin_parity
-            )
-            new_diag = new_diag + jnp.where(amps != 0, tr_delta, 0.0)
         ini_cut = cfg.init_thresh if thresh is None else thresh
         ini = jnp.abs(vals[det_idx]) >= ini_cut
 
@@ -446,14 +438,29 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             )
             new_words = jnp.concatenate([new_words, d_words])
             amps = jnp.concatenate([amps, d_amp])
-            new_occ = jnp.concatenate([new_occ, determ["occ"]])
-            new_diag = jnp.concatenate([new_diag, determ["diag"]])
             ini = jnp.concatenate(
                 [ini, jnp.ones((d_amp.shape[0],), jnp.bool_)]
             )
-        return new_words, amps, new_occ, new_diag, ini
+        return new_words, amps, ini
 
     return spawn
+
+
+def make_diag_fn(ham: mol.MolecularHamiltonian, e_ref, spin_parity: int = 0):
+    '''Diagonal closure for the power core: diag_matrel recomputed from keys
+    per iteration (replaces the DistVec matr_el_ cache), with the folded-
+    basis correction under time reversal (tr_diag, subsp_mol.cpp:122-147).'''
+    def diag_fn(keys):
+        occ = dets.occ_list(keys, ham.n_bits, ham.n_elec)
+        d = mol.diag_matrel_chunked(ham, occ) - e_ref
+        if spin_parity:
+            from fries_tpu.ops import time_reversal as tr_mod
+
+            delta, forbid = tr_mod.tr_diag(ham, keys, occ, spin_parity)
+            d = jnp.where(forbid, d, d + delta)
+        return d
+
+    return diag_fn
 
 
 def hf_p_doub(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo):
@@ -488,17 +495,12 @@ def build_determ_block(ham: mol.MolecularHamiltonian, determ_keys):
     nc = amp.shape[1]
     flat_w = w.reshape(-1, ham.n_words)
     flat_amp = amp.reshape(-1)
-    flat_occ = nocc.reshape(-1, ham.n_elec)
-    _, _, hf_en = mol.hf_reference(ham)
-    flat_diag = mol.diag_matrel_chunked(ham, flat_occ) - hf_en
     from_idx = jnp.repeat(jnp.arange(d, dtype=jnp.int32), nc)
     n_elements = int(jnp.sum(flat_amp != 0))
     return {
         "keys": determ_keys,
-        "occ": flat_occ,
         "words": flat_w,
         "amp": flat_amp,
-        "diag": flat_diag,
         "from": from_idx,
         "n_elements": n_elements,
     }
@@ -551,7 +553,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
 
     determ = build_determ_block(ham, determ_keys) if determ_keys is not None else None
     spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en, determ=determ)
-    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
+    diag_fn = make_diag_fn(ham, hf_en, cfg.spin_parity)
+    step, run_steps = power.make_stepper(
+        spawn, diag_fn, cfg.power(), estimator="direct"
+    )
 
     if trial is None:
         trial_keys = np.asarray(hf_words)[None]
@@ -570,16 +575,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
         "protected_keys": determ["keys"] if determ is not None else None,
     }
 
-    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
+    a = ar.make(cfg.capacity, ham.n_words, 2)
     if init_vec is not None:
         ik = np.asarray(init_vec[0])
         iv = np.asarray(init_vec[1])
-        iocc = dets.occ_list(jnp.asarray(ik), ham.n_bits, ham.n_elec)
-        idiag = mol.diag_matrel(ham, iocc) - hf_en
         a = ar.from_unsorted(
             a, jnp.asarray(ik),
             jnp.stack([jnp.asarray(iv), jnp.zeros(len(iv))]),
-            iocc, idiag,
         )
         state = power.fresh_state(a, seed)
         return step, run_steps, state, aux
@@ -595,17 +597,13 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
                 init_keys.append(row)
                 init_vals.append(0.0)
         init_keys = jnp.asarray(np.stack(init_keys))
-        init_occ = dets.occ_list(init_keys, ham.n_bits, ham.n_elec)
-        init_diag = mol.diag_matrel(ham, init_occ) - hf_en
         a = ar.from_unsorted(
             a, init_keys,
             jnp.stack([jnp.asarray(init_vals), jnp.zeros(len(init_vals))]),
-            init_occ, init_diag,
         )
     else:
         a = ar.from_unsorted(
-            a, hf_words[None], jnp.asarray([[init_val], [0.0]]), hf_occ[None],
-            jnp.zeros((1,)),
+            a, hf_words[None], jnp.asarray([[init_val], [0.0]]),
         )
     state = power.fresh_state(a, seed)
     return step, run_steps, state, aux
@@ -629,7 +627,10 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
 
     spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en)
-    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
+    diag_fn = make_diag_fn(ham, hf_en, cfg.spin_parity)
+    step, run_steps = power.make_stepper(
+        spawn, diag_fn, cfg.power(), estimator="direct"
+    )
     sharded_step, sharded_run = parallel.shard_stepper(
         step, run_steps, mesh, cfg.axis_name
     )
@@ -647,8 +648,6 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
     state = parallel.sharded_state(
         hf_words[None],
         jnp.asarray([[init_val], [0.0]]),
-        hf_occ[None],
-        jnp.zeros((1,)),
         cfg.n_shards,
         cfg.capacity,
         seed,

@@ -81,8 +81,9 @@ def make_spawner(ham: hub.HubbardHolstein, cfg: FrisysHHConfig, e_ref):
     to_bit = jnp.asarray(np.asarray(tos, np.int32) + np.asarray(spins, np.int32) * n)
     n_hop_cand = from_bit.shape[0]
 
-    def spawn(keys, occ, vals, h_fac, key):
+    def spawn(keys, vals, h_fac, key):
         c = keys.shape[0]
+        occ = hub.occ_list(ham, keys)
         absv = jnp.abs(vals)
         rns = jax.random.uniform(key, (2,), dtype=jnp.float64)
 
@@ -152,10 +153,8 @@ def make_spawner(ham: hub.HubbardHolstein, cfg: FrisysHHConfig, e_ref):
         new_words = jnp.where(
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
-        new_occ = hub.occ_list(ham, new_words)
-        new_diag = hub.diag_matrel(ham, new_words) - e_ref
         ini = jnp.abs(vals[det_idx]) >= cfg.init_thresh
-        return new_words, amps, new_occ, new_diag, ini
+        return new_words, amps, ini
 
     return spawn
 
@@ -168,13 +167,16 @@ def build(ham: hub.HubbardHolstein, e_ref: float, cfg: FrisysHHConfig,
     neel_occ = hub.occ_list(ham, neel[None])[0]
 
     spawn = make_spawner(ham, cfg, e_ref)
-    step, run_steps = power.make_stepper(spawn, cfg.power(), estimator="direct")
 
-    a = ar.make(cfg.capacity, ham.n_words, 2, ham.n_elec)
-    diag0 = hub.diag_matrel(ham, neel[None]) - e_ref
-    a = ar.from_unsorted(
-        a, neel[None], jnp.asarray([[init_val], [0.0]]), neel_occ[None], diag0
+    def diag_fn(keys):
+        return hub.diag_matrel(ham, keys) - e_ref
+
+    step, run_steps = power.make_stepper(
+        spawn, diag_fn, cfg.power(), estimator="direct"
     )
+
+    a = ar.make(cfg.capacity, ham.n_words, 2)
+    a = ar.from_unsorted(a, neel[None], jnp.asarray([[init_val], [0.0]]))
     state = power.fresh_state(a, seed)
 
     conn_keys, conn_mels = hub.reference_connections(ham, neel, e_ref)

@@ -70,21 +70,20 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
     def gsum(x):
         return lax.psum(x, axis) if axis else x
 
-    def route(sw, sv, so, sd, ovf):
+    def route(sw, sv, ovf):
         # shard-route spawned contributions (Adder::perform_add)
         if not (axis and cfg.n_shards > 1):
-            return sw, sv, so, sd, ovf
+            return sw, sv, ovf
         from fries_tpu.runtime import shard as sh
 
         cap = cfg.exchange_cap or max(1, 2 * sv.shape[0] // cfg.n_shards)
         tgt = sh.shard_of_words(sw, cfg.n_shards)
         rec, exch_ovf = sh.exchange(
-            {"keys": sw, "amps": sv, "occ": so, "diag": sd},
-            tgt, cfg.n_shards, cap, axis,
+            {"keys": sw, "amps": sv}, tgt, cfg.n_shards, cap, axis,
         )
         sw = rec["keys"]
         sv = jnp.where(~dets.is_invalid(sw), rec["amps"], 0.0)
-        return sw, sv, rec["occ"], rec["diag"], ovf | exch_ovf
+        return sw, sv, ovf | exch_ovf
 
     def apply_one_elec(a: ar.Arena, src_row: int, dest_row: int):
         """dest_row <- O * src_row via arena accumulate."""
@@ -102,31 +101,30 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
             spawns_v.append(amp)
         sw = jnp.concatenate(spawns_w)
         sv = jnp.concatenate(spawns_v)
-        so = dets.occ_list(sw, ham.n_bits, n_elec)
-        sd = mol.diag_matrel_chunked(ham, so) - hf_en
-        sw, sv, so, sd, ovf = route(sw, sv, so, sd, jnp.bool_(False))
+        sw, sv, ovf = route(sw, sv, jnp.bool_(False))
         a = ar.set_row(a, dest_row, jnp.zeros((a.capacity,)))
         a2, stats = ar.accumulate(
-            a, sw, sv, so, sd, jnp.ones(sv.shape, jnp.bool_),
+            a, sw, sv, jnp.ones(sv.shape, jnp.bool_),
             origin_row=src_row, dest_row=dest_row,
         )
         return a2, stats["overflow"] | ovf
 
     def h_multiply(a: ar.Arena, src_row: int, dest_row: int, key):
-        """dest <- (1 - eps (H - e_ref)) src, exact."""
+        """dest <- (1 - eps (H - e_ref)) src, exact; occ/diag recomputed
+        from keys (no arena caches)."""
         vals = jnp.where(a.valid, a.vals[src_row], 0.0)
-        w, amp, nocc = mol.exact_offdiag_batch(
-            ham, tmpl, a.keys, a.occ, vals, -cfg.eps
+        arena_occ = dets.occ_list(a.keys, ham.n_bits, n_elec)
+        arena_diag = mol.diag_matrel_chunked(ham, arena_occ) - hf_en
+        w, amp, _ = mol.exact_offdiag_batch(
+            ham, tmpl, a.keys, arena_occ, vals, -cfg.eps
         )
         fw = w.reshape(-1, ham.n_words)
         fa = amp.reshape(-1)
-        fo = nocc.reshape(-1, n_elec)
-        fd = mol.diag_matrel_chunked(ham, fo) - hf_en
-        fw, fa, fo, fd, _ = route(fw, fa, fo, fd, jnp.bool_(False))
-        diag_part = vals * (1 - cfg.eps * a.diag)
+        fw, fa, _ = route(fw, fa, jnp.bool_(False))
+        diag_part = vals * (1 - cfg.eps * arena_diag)
         a1 = ar.set_row(a, dest_row, diag_part)
         a2, stats = ar.accumulate(
-            a1, fw, fa, fo, fd, jnp.ones(fa.shape, jnp.bool_),
+            a1, fw, fa, jnp.ones(fa.shape, jnp.bool_),
             origin_row=src_row, dest_row=dest_row,
         )
         return a2, stats["overflow"]
@@ -217,14 +215,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig, seed: int,
     def run_steps(state, n_iter: int):
         return lax.scan(lambda s, _: step(s), state, None, length=n_iter)
 
-    a = ar.make(cfg.capacity, ham.n_words, n_rows, n_elec)
+    a = ar.make(cfg.capacity, ham.n_words, n_rows)
     init_vals = np.zeros((n_rows, 1))
     init_vals[0, 0] = init_val
     if cfg.replica:
         init_vals[1, 0] = init_val
-    a = ar.from_unsorted(
-        a, hf_words[None], jnp.asarray(init_vals), hf_occ[None], jnp.zeros((1,))
-    )
+    a = ar.from_unsorted(a, hf_words[None], jnp.asarray(init_vals))
     state = ObsState(a, jax.random.key(seed), jnp.int32(0))
     aux = {"e_ref": hf_en}
     return step, run_steps, state, aux
@@ -241,13 +237,12 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig,
     step, run_steps, state0, aux = build(ham, cfg, seed, init_val)
     a = state0.arena
     live = np.asarray(a.valid)
-    gk, gv, go, gd, gn = parallel.distribute_rows(
+    gk, gv, gn = parallel.distribute_rows(
         np.asarray(a.keys)[live], np.asarray(a.vals)[:, live],
-        np.asarray(a.occ)[live], np.asarray(a.diag)[live],
         cfg.n_shards, cfg.capacity,
     )
     st = ObsState(
-        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        arena=ar.Arena(keys=gk, vals=gv, n_used=gn),
         key=state0.key, iterat=state0.iterat,
     )
     sspec = ObsState(

@@ -13,9 +13,11 @@ One jit-compiled step of  v <- (1 - eps (H - e_ref - S)) v  with
   * norm-control shift updates (compress_utils.cpp:684-693),
   * find_preserve + systematic vector compression + compaction.
 
-A model is a ``spawn_fn(keys, occ, vals, h_fac, key) -> (flat_words,
-flat_amps, flat_occ, flat_diag, flat_ini)``; ``flat_diag`` must already be
-relative to ``e_ref``; invalid slots carry zero amplitude.
+A model is a ``spawn_fn(keys, vals, h_fac, key) -> (flat_words,
+flat_amps, flat_ini)`` plus a ``diag_fn(keys) -> (C,)`` diagonal closure
+(already e_ref-relative).  The arena carries no occ/diag caches (see
+runtime/arena.py) - drivers recompute both from keys, which profiling showed
+beats scattering cached payload columns through every merge/compact.
 """
 
 from __future__ import annotations
@@ -70,7 +72,8 @@ def fresh_state(a: ar.Arena, seed: int) -> PowerState:
     )
 
 
-def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
+def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
+                 estimator: str = "before_after"):
     """Build (step, run_steps) jitted for one model.
 
     step(state, num_keys, num_vals, den_keys, den_vals, ref_key):
@@ -105,8 +108,8 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
 
         den_before = gsum(ar.dot(a, den_keys, den_vals, row=0))
 
-        flat_words, flat_amps, flat_occ, flat_diag, flat_ini = spawn_fn(
-            a.keys, a.occ, vals0, -eps, key_spawn
+        flat_words, flat_amps, flat_ini = spawn_fn(
+            a.keys, vals0, -eps, key_spawn
         )
         flat_words = jnp.where(
             (flat_amps != 0)[:, None],
@@ -126,8 +129,6 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
                 {
                     "keys": flat_words,
                     "amps": flat_amps,
-                    "occ": flat_occ,
-                    "diag": flat_diag,
                     "ini": flat_ini,
                 },
                 target, cfg.n_shards, cap, axis,
@@ -136,17 +137,16 @@ def make_stepper(spawn_fn, cfg: PowerConfig, estimator: str = "before_after"):
             flat_amps = jnp.where(
                 ~dets.is_invalid(flat_words), received["amps"], 0.0
             )
-            flat_occ = received["occ"]
-            flat_diag = received["diag"]
             flat_ini = received["ini"]
 
         a2, stats = ar.accumulate(
-            a, flat_words, flat_amps, flat_occ, flat_diag, flat_ini,
-            origin_row=0, dest_row=1,
+            a, flat_words, flat_amps, flat_ini, origin_row=0, dest_row=1,
         )
 
-        # death / cloning + combine (frisys_mol.cpp:487-496)
-        new_v = a2.vals[0] * (1 - eps * (a2.diag - state.en_shift)) + a2.vals[1]
+        # death / cloning + combine (frisys_mol.cpp:487-496); the diagonal is
+        # recomputed from the merged keys (no cached matr_el_ column)
+        diag2 = diag_fn(a2.keys)
+        new_v = a2.vals[0] * (1 - eps * (diag2 - state.en_shift)) + a2.vals[1]
         new_v = jnp.where(a2.valid, new_v, 0.0)
 
         a2v = ar.set_row(a2, 0, new_v)
@@ -257,7 +257,7 @@ def per_parent_ini(vals, init_thresh, n_per):
     return jnp.repeat(jnp.abs(vals) >= init_thresh, n_per)
 
 
-def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
+def chunked(spawn_one, capacity: int, batch: int, n_words: int):
     """Wrap a whole-batch spawn function with fixed-size chunking via lax.map
     (bounds the candidate-buffer memory for exact H application).
 
@@ -266,7 +266,7 @@ def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
     if not batch or batch >= capacity:
         return spawn_one
 
-    def spawn(keys, occ, vals, h_fac, key):
+    def spawn(keys, vals, h_fac, key):
         c = keys.shape[0]
         n_chunks = -(-c // batch)
         pad = n_chunks * batch - c
@@ -274,21 +274,19 @@ def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
             keys = jnp.concatenate(
                 [keys, jnp.tile(dets.invalid_det(n_words), (pad, 1))]
             )
-            occ = jnp.concatenate([occ, jnp.zeros((pad, n_elec), occ.dtype)])
             vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
 
         def one(args):
             # fold the chunk index into the key so a stochastic spawn_one
             # draws independent randoms per chunk
-            i, k, o, v = args
-            return spawn_one(k, o, v, h_fac, jax.random.fold_in(key, i))
+            i, k, v = args
+            return spawn_one(k, v, h_fac, jax.random.fold_in(key, i))
 
-        w, amp, oc, dg, ini = lax.map(
+        w, amp, ini = lax.map(
             one,
             (
                 jnp.arange(n_chunks, dtype=jnp.int32),
                 keys.reshape(n_chunks, batch, -1),
-                occ.reshape(n_chunks, batch, -1),
                 vals.reshape(n_chunks, batch),
             ),
         )
@@ -296,8 +294,6 @@ def chunked(spawn_one, capacity: int, batch: int, n_words: int, n_elec: int):
         return (
             w.reshape(-1, n_words)[:take],
             amp.reshape(-1)[:take],
-            oc.reshape(-1, n_elec)[:take],
-            dg.reshape(-1)[:take],
             ini.reshape(-1)[:take],
         )
 

@@ -120,16 +120,15 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         # subspfull_mol: exact (uncompressed) H application per vector
         tmpl_x = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
 
-        def spawn(keys, occ, vals, h_fac, key, thresh=None):
-            w, amp, nocc = mol.exact_offdiag_batch(
+        def spawn(keys, vals, h_fac, key, thresh=None):
+            occ = dets.occ_list(keys, ham.n_bits, ham.n_elec)
+            w, amp, _ = mol.exact_offdiag_batch(
                 ham, tmpl_x, keys, occ, vals, h_fac
             )
             fw = w.reshape(-1, ham.n_words)
             fa = amp.reshape(-1)
-            fo = nocc.reshape(-1, ham.n_elec)
-            fd = mol.diag_matrel_chunked(ham, fo) - hf_en
             fi = jnp.ones(fa.shape, jnp.bool_)
-            return fw, fa, fo, fd, fi
+            return fw, fa, fi
     else:
         spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, fcfg, hf_en)
 
@@ -219,19 +218,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             kk = tuple(tk[r])
             if kk in uniq:
                 init_vals[j, uniq[kk]] += tv[r]
-    init_occ = dets.occ_list(jnp.asarray(init_keys), ham.n_bits, n_elec)
-    init_diag = mol.diag_matrel(ham, init_occ) - hf_en
-    if cfg.spin_parity:
-        from fries_tpu.ops import time_reversal as tr_mod
-
-        delta0, _ = tr_mod.tr_diag(
-            ham, jnp.asarray(init_keys), init_occ, cfg.spin_parity
-        )
-        init_diag = init_diag + delta0
-
-    a = ar.make(cfg.capacity, ham.n_words, t, n_elec)
-    a = ar.from_unsorted(a, jnp.asarray(init_keys), jnp.asarray(init_vals),
-                         init_occ, init_diag)
+    a = ar.make(cfg.capacity, ham.n_words, t)
+    a = ar.from_unsorted(a, jnp.asarray(init_keys), jnp.asarray(init_vals))
 
     state = SubspaceState(
         arena=a,
@@ -262,7 +250,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         norm_factors = jnp.where(do_shift, nf_new, state.norm_factors)
         last_norms = jnp.where(do_shift, ln_new, state.last_norms)
         vals = a.vals / norm_factors[:, None]
-        a = ar.Arena(a.keys, vals, a.occ, a.diag, a.n_used)
+        a = ar.Arena(a.keys, vals, a.n_used)
 
         # ---- 2. h/d projection matrices ----
         def dots(qkeys, qvals):
@@ -321,7 +309,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             return new_vals * scale[:, None]
 
         vals = jnp.where(do_restart, restarted(a.vals), a.vals)
-        a = ar.Arena(a.keys, vals, a.occ, a.diag, a.n_used)
+        a = ar.Arena(a.keys, vals, a.n_used)
 
         # ---- 4. per-row compression (reference compress_vecs pivotal
         # default, vec_utils.cpp:10-71; sys and two-level multinomial
@@ -354,14 +342,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
                     )
                 )
         vals = jnp.stack(comp_rows)
-        a = ar.Arena(a.keys, vals, a.occ, a.diag, a.n_used)
+        a = ar.Arena(a.keys, vals, a.n_used)
         any_nonzero = jnp.any(vals != 0, axis=0)
         a = ar.compact(a, any_nonzero)
 
         # ---- 5. per-vector stochastic multiplication ----
-        all_words, all_amps, all_occ, all_diag, all_ini, all_rows = (
-            [], [], [], [], [], []
-        )
+        all_words, all_amps, all_ini, all_rows = [], [], [], []
         norms_now = gsum(jnp.stack(
             [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
         ))
@@ -373,20 +359,14 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             # init_thresh * ||v_j||_1 / matr_samp, recomputed per vector per
             # iteration (init_thresh=0 keeps every parent an initiator)
             thr_j = cfg.init_thresh * norms_now[j] / cfg.matr_samp
-            w, amp, occ_s, diag_s, ini_j = spawn(
-                a.keys, a.occ, vj, -cfg.eps, kj, thresh=thr_j
-            )
+            w, amp, ini_j = spawn(a.keys, vj, -cfg.eps, kj, thresh=thr_j)
             all_words.append(w)
             all_amps.append(amp)
-            all_occ.append(occ_s)
-            all_diag.append(diag_s)
             all_ini.append(ini_j)
             all_rows.append(jnp.full(amp.shape, j, jnp.int32))
 
         sw = jnp.concatenate(all_words)
         sa = jnp.concatenate(all_amps)
-        so = jnp.concatenate(all_occ)
-        sd = jnp.concatenate(all_diag)
         si = jnp.concatenate(all_ini)
         sr = jnp.concatenate(all_rows)
 
@@ -397,23 +377,30 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             cap = cfg.exchange_cap or max(1, 2 * sa.shape[0] // cfg.n_shards)
             target = sh.shard_of_words(sw, cfg.n_shards)
             received, exch_ovf = sh.exchange(
-                {"keys": sw, "amps": sa, "occ": so, "diag": sd, "ini": si,
-                 "rows": sr},
+                {"keys": sw, "amps": sa, "ini": si, "rows": sr},
                 target, cfg.n_shards, cap, axis,
             )
             sw = received["keys"]
             sa = jnp.where(~dets.is_invalid(sw), received["amps"], 0.0)
-            so = received["occ"]
-            sd = received["diag"]
             si = received["ini"]
             sr = received["rows"]
             overflow |= exch_ovf
 
-        # death on every row, then merge spawns
-        death = 1 - cfg.eps * a.diag
+        # death on every row, then merge spawns (diagonal recomputed from
+        # keys - the arena carries no matr_el_ cache)
+        arena_occ = dets.occ_list(a.keys, ham.n_bits, n_elec)
+        arena_diag = mol.diag_matrel_chunked(ham, arena_occ) - hf_en
+        if cfg.spin_parity:
+            from fries_tpu.ops import time_reversal as tr_mod
+
+            tr_delta, tr_forbid = tr_mod.tr_diag(
+                ham, a.keys, arena_occ, cfg.spin_parity
+            )
+            arena_diag = jnp.where(tr_forbid, arena_diag, arena_diag + tr_delta)
+        death = 1 - cfg.eps * arena_diag
         dvals = jnp.where(a.valid[None, :], a.vals * death[None, :], 0.0)
-        a = ar.Arena(a.keys, dvals, a.occ, a.diag, a.n_used)
-        a2, stats = ar.accumulate_multi(a, sw, sa, sr, so, sd, si)
+        a = ar.Arena(a.keys, dvals, a.n_used)
+        a2, stats = ar.accumulate_multi(a, sw, sa, sr, si)
         overflow |= stats["overflow"]
 
         metrics = {
@@ -461,13 +448,11 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
     live = np.asarray(a.valid)
     keys = np.asarray(a.keys)[live]
     vals = np.asarray(a.vals)[:, live]
-    occ = np.asarray(a.occ)[live]
-    diag = np.asarray(a.diag)[live]
-    gk, gv, go, gd, gn = parallel.distribute_rows(
-        keys, vals, occ, diag, cfg.n_shards, cfg.capacity
+    gk, gv, gn = parallel.distribute_rows(
+        keys, vals, cfg.n_shards, cfg.capacity
     )
     st = SubspaceState(
-        arena=ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn),
+        arena=ar.Arena(keys=gk, vals=gv, n_used=gn),
         norm_factors=state0.norm_factors,
         last_norms=state0.last_norms,
         key=state0.key,

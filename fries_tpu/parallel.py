@@ -37,9 +37,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def arena_spec(axis: str = AXIS) -> ar.Arena:
-    return ar.Arena(
-        keys=P(axis), vals=P(None, axis), occ=P(axis), diag=P(axis), n_used=P(axis)
-    )
+    return ar.Arena(keys=P(axis), vals=P(None, axis), n_used=P(axis))
 
 
 def state_spec(axis: str = AXIS) -> power.PowerState:
@@ -63,25 +61,21 @@ def metrics_spec():
     }
 
 
-def distribute_rows(keys, vals, occ, diag, n_shards: int, capacity: int):
+def distribute_rows(keys, vals, n_shards: int, capacity: int):
     """Host-side: route initial rows to their owning shards and build the
-    stacked global arena arrays ((n*C, ...), vals (R, n*C)).
+    stacked global arena arrays ((n*C, W), vals (R, n*C)).
 
     Each shard block is sorted and sentinel-padded, matching the layout the
     sharded step maintains.
     """
     keys = np.asarray(keys)
     vals = np.asarray(vals)
-    occ = np.asarray(occ)
-    diag = np.asarray(diag)
     w = keys.shape[1]
     r = vals.shape[0]
     shard_ids = np.asarray(sh.shard_of_words(jnp.asarray(keys), n_shards))
 
     g_keys = np.tile(np.asarray(dets.invalid_det(w)), (n_shards * capacity, 1))
     g_vals = np.zeros((r, n_shards * capacity), vals.dtype)
-    g_occ = np.zeros((n_shards * capacity, occ.shape[1]), np.int32)
-    g_diag = np.zeros((n_shards * capacity,), np.float64)
     g_nused = np.zeros((n_shards,), np.int32)
 
     for s in range(n_shards):
@@ -95,22 +89,14 @@ def distribute_rows(keys, vals, occ, diag, n_shards: int, capacity: int):
         for j, ri in enumerate(rows):
             g_keys[base + j] = keys[ri]
             g_vals[:, base + j] = vals[:, ri]
-            g_occ[base + j] = occ[ri]
-            g_diag[base + j] = diag[ri]
         g_nused[s] = len(rows)
 
-    return (
-        jnp.asarray(g_keys),
-        jnp.asarray(g_vals),
-        jnp.asarray(g_occ),
-        jnp.asarray(g_diag),
-        jnp.asarray(g_nused),
-    )
+    return jnp.asarray(g_keys), jnp.asarray(g_vals), jnp.asarray(g_nused)
 
 
-def sharded_state(keys, vals, occ, diag, n_shards, capacity, seed) -> power.PowerState:
-    gk, gv, go, gd, gn = distribute_rows(keys, vals, occ, diag, n_shards, capacity)
-    a = ar.Arena(keys=gk, vals=gv, occ=go, diag=gd, n_used=gn)
+def sharded_state(keys, vals, n_shards, capacity, seed) -> power.PowerState:
+    gk, gv, gn = distribute_rows(keys, vals, n_shards, capacity)
+    a = ar.Arena(keys=gk, vals=gv, n_used=gn)
     return power.PowerState(
         arena=a,
         en_shift=jnp.float64(0.0),

@@ -5,7 +5,7 @@ TPU-native replacement for the reference's hash-table distributed vector
 FRIES/det_hash.hpp): one chip's shard of the solution vector is a fixed
 capacity struct-of-arrays *sorted by determinant key*, with
 
-* accumulation of spawned contributions via concat -> sort -> segment-sum
+* accumulation of spawned contributions via sort + binary-search merge
   (replaces Adder::perform_add + DistVec::add_elements,
   vec_utils.hpp:991-1019, 606-641),
 * the initiator rule expressed as a per-segment mask (a spawn from a
@@ -15,6 +15,13 @@ capacity struct-of-arrays *sorted by determinant key*, with
   (vec_utils.hpp:228-275),
 * stable masked compaction instead of per-entry deletion + free-list
   (vec_utils.hpp:458-499).
+
+Unlike the reference's DistVec, the arena carries NO occupied-orbital or
+diagonal caches (occ_orbs_ vec_utils.hpp:134, matr_el_ :139): profiling
+showed the merge/compact scatters of those payload columns dominating the
+iteration (~350 ms of a 2 s step at 1e6 dets), while recomputing occupied
+lists and diagonals from the keys costs ~30 ms of pure vector math -
+rematerialization wins on TPU.  Drivers derive both from keys per iteration.
 
 Empty slots carry the all-ones sentinel key, which sorts after every valid
 determinant, so the occupied prefix is contiguous and sorted.  All operations
@@ -46,18 +53,12 @@ class Arena:
     Attributes:
       keys:  (C, W) uint32 determinant words, sorted ascending, sentinel-padded.
       vals:  (R, C) value rows.
-      occ:   (C, E) int32 occupied-orbital lists (cached, like
-             DistVec::occ_orbs_, vec_utils.hpp:134).
-      diag:  (C,) diagonal matrix elements (cached, like DistVec::matr_el_,
-             vec_utils.hpp:139; semantics defined by the driver).
       n_used: (1,) int32 number of occupied slots (kept 1-D so the arena
         shards cleanly under shard_map).
     """
 
     keys: jax.Array
     vals: jax.Array
-    occ: jax.Array
-    diag: jax.Array
     n_used: jax.Array
 
     @property
@@ -77,14 +78,12 @@ class Arena:
         return ~dets.is_invalid(self.keys)
 
 
-def make(capacity: int, n_words: int, n_vecs: int, n_elec: int,
+def make(capacity: int, n_words: int, n_vecs: int,
          val_dtype=jnp.float64) -> Arena:
     """An empty arena."""
     return Arena(
         keys=jnp.tile(dets.invalid_det(n_words), (capacity, 1)),
         vals=jnp.zeros((n_vecs, capacity), dtype=val_dtype),
-        occ=jnp.zeros((capacity, n_elec), dtype=jnp.int32),
-        diag=jnp.zeros((capacity,), dtype=jnp.float64),
         n_used=jnp.zeros((1,), jnp.int32),
     )
 
@@ -103,7 +102,7 @@ def _sort_perm(keys: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def from_unsorted(arena: Arena, keys, vals, occ, diag) -> Arena:
+def from_unsorted(arena: Arena, keys, vals) -> Arena:
     """Populate an empty arena from unsorted (possibly sentinel-padded) rows.
 
     ``vals`` has shape (R, N) with N <= capacity; duplicate keys are NOT
@@ -113,150 +112,19 @@ def from_unsorted(arena: Arena, keys, vals, occ, diag) -> Arena:
     n = keys.shape[0]
     pad = c - n
     if pad:
-        keys = jnp.concatenate([keys, jnp.tile(dets.invalid_det(arena.n_words), (pad, 1))])
-        vals = jnp.concatenate([vals, jnp.zeros((vals.shape[0], pad), vals.dtype)], axis=1)
-        occ = jnp.concatenate([occ, jnp.zeros((pad, occ.shape[1]), occ.dtype)])
-        diag = jnp.concatenate([diag, jnp.zeros((pad,), diag.dtype)])
+        keys = jnp.concatenate(
+            [keys, jnp.tile(dets.invalid_det(arena.n_words), (pad, 1))]
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((vals.shape[0], pad), vals.dtype)], axis=1
+        )
     perm = _sort_perm(keys)
     keys = keys[perm]
     return Arena(
         keys=keys,
         vals=vals[:, perm].astype(arena.vals.dtype),
-        occ=occ[perm],
-        diag=diag[perm].astype(jnp.float64),
         n_used=jnp.sum(~dets.is_invalid(keys), dtype=jnp.int32)[None],
     )
-
-
-@partial(jax.jit, static_argnames=("origin_row", "dest_row"))
-def accumulate_fullsort(
-    arena: Arena,
-    spawn_keys: jax.Array,
-    spawn_vals: jax.Array,
-    spawn_occ: jax.Array,
-    spawn_diag: jax.Array,
-    spawn_ini: jax.Array,
-    origin_row: int = 0,
-    dest_row: int = 0,
-):
-    """Reference concat+sort merge (kept for cross-validation of the faster
-    sorted-merge :func:`accumulate`).
-
-    Invalid spawn slots must carry the sentinel key (their values are ignored).
-    The contribution of each valid spawn lands in ``dest_row``; a spawn with
-    ``spawn_ini`` False is dropped unless its determinant is already present
-    with a nonzero ``origin_row`` value (two-pass add semantics of
-    frisys_mol.cpp:430-471 collapse to this single-pass mask - a non-initiator
-    spawn to a determinant created in the same step by an initiator spawn is
-    dropped either way).
-
-    Returns (new_arena, stats) where stats = dict(overflow: bool,
-    nonini_occ_add: int32 count of non-initiator adds to occupied targets,
-    like DistVec::nonini_occ_add, vec_utils.hpp:637).
-    """
-    c, w = arena.keys.shape
-    s = spawn_keys.shape[0]
-    r = arena.n_vecs
-    total = c + s
-
-    spawn_invalid = dets.is_invalid(spawn_keys)
-    arena_valid = arena.valid
-
-    all_keys = jnp.concatenate([arena.keys, spawn_keys])  # arena first: stable
-    perm = _sort_perm(all_keys)
-    sorted_keys = all_keys[perm]
-    is_arena = perm < c
-    src_idx = jnp.where(is_arena, perm, 0)
-    sp_idx = jnp.where(is_arena, 0, perm - c)
-
-    valid = jnp.where(is_arena, arena_valid[src_idx], ~spawn_invalid[sp_idx])
-
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.bool_),
-            ~dets.det_eq(sorted_keys[1:], sorted_keys[:-1]),
-        ]
-    )
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [0, total)
-
-    # initiator rule: does this segment contain an arena entry with nonzero
-    # origin-row value?
-    origin_nonzero = is_arena & valid & (arena.vals[origin_row][src_idx] != 0)
-    seg_occupied = (
-        jnp.zeros((total,), jnp.bool_).at[seg_id].max(origin_nonzero)
-    )
-    elem_occupied = seg_occupied[seg_id]
-    spawn_allowed = (~is_arena) & valid & (spawn_ini[sp_idx] | elem_occupied)
-    nonini_occ_add = jnp.sum(
-        (~is_arena) & valid & ~spawn_ini[sp_idx] & elem_occupied,
-        dtype=jnp.int32,
-    )
-
-    # per-row contributions
-    def seg_sum(contrib):
-        return jnp.zeros((total,), contrib.dtype).at[seg_id].add(contrib)
-
-    new_vals_rows = []
-    for row in range(r):
-        base = jnp.where(is_arena & valid, arena.vals[row][src_idx], 0)
-        if row == dest_row:
-            base = base + jnp.where(spawn_allowed, spawn_vals[sp_idx], 0)
-        new_vals_rows.append(seg_sum(base))
-    seg_vals = jnp.stack(new_vals_rows)  # (R, total) indexed by seg_id
-
-    # segment representative payloads: the first element of each segment is an
-    # arena entry whenever one exists (stable sort, arena concatenated first)
-    seg_keys = jnp.where(
-        first[:, None], sorted_keys, jnp.zeros_like(sorted_keys)
-    )
-    seg_keys = jnp.zeros((total, w), jnp.uint32).at[seg_id].max(seg_keys)
-    rep_occ = jnp.where(is_arena[:, None], arena.occ[src_idx], spawn_occ[sp_idx])
-    seg_occ = (
-        jnp.zeros((total, arena.occ.shape[1]), jnp.int32)
-        .at[seg_id]
-        .max(jnp.where(first[:, None], rep_occ, 0))
-    )
-    rep_diag = jnp.where(is_arena, arena.diag[src_idx], spawn_diag[sp_idx])
-    seg_diag = (
-        jnp.zeros((total,), jnp.float64)
-        .at[seg_id]
-        .add(jnp.where(first, rep_diag, 0.0))
-    )
-
-    # a segment survives if it contains an arena entry or an allowed spawn;
-    # segments of invalid sentinels are dropped
-    seg_live = (
-        jnp.zeros((total,), jnp.bool_)
-        .at[seg_id]
-        .max(valid & (is_arena | spawn_allowed))
-    )
-    seg_is_valid_key = ~dets.is_invalid(seg_keys)
-    seg_live = seg_live & seg_is_valid_key
-
-    # compact live segments to the front (they are in sorted key order)
-    n_live = jnp.sum(seg_live, dtype=jnp.int32)
-    overflow = n_live > c
-    dest_pos = jnp.where(
-        seg_live, jnp.cumsum(seg_live.astype(jnp.int32)) - 1, total
-    )
-
-    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
-    out_keys = out_keys.at[dest_pos].set(seg_keys, mode="drop")
-    out_vals = jnp.zeros((r, c), arena.vals.dtype)
-    out_vals = out_vals.at[:, dest_pos].set(seg_vals, mode="drop")
-    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
-    out_occ = out_occ.at[dest_pos].set(seg_occ, mode="drop")
-    out_diag = jnp.zeros((c,), jnp.float64)
-    out_diag = out_diag.at[dest_pos].set(seg_diag, mode="drop")
-
-    new_arena = Arena(
-        keys=out_keys,
-        vals=out_vals,
-        occ=out_occ,
-        diag=out_diag,
-        n_used=jnp.minimum(n_live, c)[None],
-    )
-    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
 
 
 @jax.jit
@@ -273,13 +141,9 @@ def compact(arena: Arena, keep_mask: jax.Array) -> Arena:
     out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
     out_keys = out_keys.at[pos].set(arena.keys, mode="drop")
     out_vals = jnp.zeros_like(arena.vals).at[:, pos].set(arena.vals, mode="drop")
-    out_occ = jnp.zeros_like(arena.occ).at[pos].set(arena.occ, mode="drop")
-    out_diag = jnp.zeros_like(arena.diag).at[pos].set(arena.diag, mode="drop")
     return Arena(
         keys=out_keys,
         vals=out_vals,
-        occ=out_occ,
-        diag=out_diag,
         n_used=jnp.sum(keep, dtype=jnp.int32)[None],
     )
 
@@ -329,119 +193,8 @@ def grow(arena: Arena, new_capacity: int) -> Arena:
         vals=jnp.concatenate(
             [arena.vals, jnp.zeros((arena.n_vecs, extra), arena.vals.dtype)], axis=1
         ),
-        occ=jnp.concatenate(
-            [arena.occ, jnp.zeros((extra, arena.occ.shape[1]), jnp.int32)]
-        ),
-        diag=jnp.concatenate([arena.diag, jnp.zeros((extra,), jnp.float64)]),
         n_used=arena.n_used,
     )
-
-
-@partial(jax.jit, static_argnames=())
-def accumulate_multi(
-    arena: Arena,
-    spawn_keys: jax.Array,
-    spawn_vals: jax.Array,
-    spawn_rows: jax.Array,
-    spawn_occ: jax.Array,
-    spawn_diag: jax.Array,
-    spawn_ini: jax.Array,
-):
-    """Merge spawns targeting *per-spawn* value rows (for the multi-vector
-    subspace drivers, reference subsp_mol.cpp:546-600).
-
-    Like :func:`accumulate`, but each spawn carries the row it contributes to
-    (``spawn_rows``), and the initiator rule checks occupancy against that
-    same row (origin == dest per vector in the reference loop).
-    """
-    c, w = arena.keys.shape
-    s = spawn_keys.shape[0]
-    r = arena.n_vecs
-    total = c + s
-
-    spawn_invalid = dets.is_invalid(spawn_keys)
-    arena_valid = arena.valid
-
-    all_keys = jnp.concatenate([arena.keys, spawn_keys])
-    perm = _sort_perm(all_keys)
-    sorted_keys = all_keys[perm]
-    is_arena = perm < c
-    src_idx = jnp.where(is_arena, perm, 0)
-    sp_idx = jnp.where(is_arena, 0, perm - c)
-
-    valid = jnp.where(is_arena, arena_valid[src_idx], ~spawn_invalid[sp_idx])
-
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), ~dets.det_eq(sorted_keys[1:], sorted_keys[:-1])]
-    )
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-
-    # per-row occupancy of each segment (for the per-row initiator rule)
-    row_of = spawn_rows[sp_idx]
-    seg_vals_rows = []
-    spawn_allowed_any = jnp.zeros((total,), jnp.bool_)
-    nonini_occ_add = jnp.int32(0)
-    for row in range(r):
-        occ_nonzero = is_arena & valid & (arena.vals[row][src_idx] != 0)
-        seg_occ_r = jnp.zeros((total,), jnp.bool_).at[seg_id].max(occ_nonzero)
-        elem_occ_r = seg_occ_r[seg_id]
-        allowed_r = (
-            (~is_arena) & valid & (row_of == row)
-            & (spawn_ini[sp_idx] | elem_occ_r)
-        )
-        nonini_occ_add += jnp.sum(
-            (~is_arena) & valid & (row_of == row) & ~spawn_ini[sp_idx] & elem_occ_r,
-            dtype=jnp.int32,
-        )
-        spawn_allowed_any |= allowed_r
-        base = jnp.where(is_arena & valid, arena.vals[row][src_idx], 0)
-        base = base + jnp.where(allowed_r, spawn_vals[sp_idx], 0)
-        seg_vals_rows.append(jnp.zeros((total,), base.dtype).at[seg_id].add(base))
-    seg_vals = jnp.stack(seg_vals_rows)
-
-    seg_keys = jnp.where(first[:, None], sorted_keys, jnp.zeros_like(sorted_keys))
-    seg_keys = jnp.zeros((total, w), jnp.uint32).at[seg_id].max(seg_keys)
-    rep_occ = jnp.where(is_arena[:, None], arena.occ[src_idx], spawn_occ[sp_idx])
-    seg_occ = (
-        jnp.zeros((total, arena.occ.shape[1]), jnp.int32)
-        .at[seg_id]
-        .max(jnp.where(first[:, None], rep_occ, 0))
-    )
-    rep_diag = jnp.where(is_arena, arena.diag[src_idx], spawn_diag[sp_idx])
-    seg_diag = (
-        jnp.zeros((total,), jnp.float64)
-        .at[seg_id]
-        .add(jnp.where(first, rep_diag, 0.0))
-    )
-
-    seg_live = (
-        jnp.zeros((total,), jnp.bool_)
-        .at[seg_id]
-        .max(valid & (is_arena | spawn_allowed_any))
-    )
-    seg_live = seg_live & ~dets.is_invalid(seg_keys)
-
-    n_live = jnp.sum(seg_live, dtype=jnp.int32)
-    overflow = n_live > c
-    dest_pos = jnp.where(seg_live, jnp.cumsum(seg_live.astype(jnp.int32)) - 1, total)
-
-    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
-    out_keys = out_keys.at[dest_pos].set(seg_keys, mode="drop")
-    out_vals = jnp.zeros((r, c), arena.vals.dtype)
-    out_vals = out_vals.at[:, dest_pos].set(seg_vals, mode="drop")
-    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
-    out_occ = out_occ.at[dest_pos].set(seg_occ, mode="drop")
-    out_diag = jnp.zeros((c,), jnp.float64)
-    out_diag = out_diag.at[dest_pos].set(seg_diag, mode="drop")
-
-    new_arena = Arena(
-        keys=out_keys,
-        vals=out_vals,
-        occ=out_occ,
-        diag=out_diag,
-        n_used=jnp.minimum(n_live, c)[None],
-    )
-    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
 
 
 @partial(jax.jit, static_argnames=("origin_row", "dest_row"))
@@ -449,8 +202,6 @@ def accumulate(
     arena: Arena,
     spawn_keys: jax.Array,
     spawn_vals: jax.Array,
-    spawn_occ: jax.Array,
-    spawn_diag: jax.Array,
     spawn_ini: jax.Array,
     origin_row: int = 0,
     dest_row: int = 0,
@@ -479,8 +230,6 @@ def accumulate(
     perm = _sort_perm(spawn_keys)
     skeys = spawn_keys[perm]
     svals = spawn_vals[perm]
-    socc = spawn_occ[perm]
-    sdiag = spawn_diag[perm]
     sini = spawn_ini[perm]
     s_valid = ~dets.is_invalid(skeys)
 
@@ -491,13 +240,8 @@ def accumulate(
     seg_id = jnp.where(s_valid, seg_id, s)
 
     # unique spawn keys compacted to the front (sorted, sentinel padded)
-    n_uniq = jnp.sum(first, dtype=jnp.int32)
     upos = jnp.where(first, jnp.cumsum(first.astype(jnp.int32)) - 1, s)
     ukeys = jnp.tile(dets.invalid_det(w), (s, 1)).at[upos].set(skeys, mode="drop")
-    uocc = jnp.zeros((s, arena.occ.shape[1]), jnp.int32).at[upos].set(
-        socc, mode="drop"
-    )
-    udiag = jnp.zeros((s,), jnp.float64).at[upos].set(sdiag, mode="drop")
 
     # ---- 2. arena lookup: does each unique key exist with nonzero origin? --
     # (raw insertion position doubles as a_less below - one search, two uses)
@@ -553,18 +297,107 @@ def accumulate(
     out_vals = out_vals.at[dest_row, uniq_dest].add(
         jnp.where(is_new, contrib, 0), mode="drop"
     )
-    out_occ = jnp.zeros((c, arena.occ.shape[1]), jnp.int32)
-    out_occ = out_occ.at[arena_dest].set(arena.occ, mode="drop")
-    out_occ = out_occ.at[uniq_dest].set(uocc, mode="drop")
-    out_diag = jnp.zeros((c,), jnp.float64)
-    out_diag = out_diag.at[arena_dest].set(arena.diag, mode="drop")
-    out_diag = out_diag.at[uniq_dest].set(udiag, mode="drop")
 
     new_arena = Arena(
         keys=out_keys,
         vals=out_vals,
-        occ=out_occ,
-        diag=out_diag,
+        n_used=jnp.minimum(n_avalid + n_new, c)[None],
+    )
+    return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
+
+
+@partial(jax.jit, static_argnames=())
+def accumulate_multi(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_rows: jax.Array,
+    spawn_ini: jax.Array,
+):
+    """Merge spawns targeting *per-spawn* value rows (for the multi-vector
+    subspace drivers, reference subsp_mol.cpp:546-600).
+
+    Like :func:`accumulate`, but each spawn carries the row it contributes to
+    (``spawn_rows``), and the initiator rule checks occupancy against that
+    same row (origin == dest per vector in the reference loop).
+    """
+    c, w = arena.keys.shape
+    s = spawn_keys.shape[0]
+    r = arena.n_vecs
+
+    perm = _sort_perm(spawn_keys)
+    skeys = spawn_keys[perm]
+    svals = spawn_vals[perm]
+    sini = spawn_ini[perm]
+    srows = spawn_rows[perm]
+    s_valid = ~dets.is_invalid(skeys)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ~dets.det_eq(skeys[1:], skeys[:-1])]
+    ) & s_valid
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_id = jnp.where(s_valid, seg_id, s)
+
+    upos = jnp.where(first, jnp.cumsum(first.astype(jnp.int32)) - 1, s)
+    ukeys = jnp.tile(dets.invalid_det(w), (s, 1)).at[upos].set(skeys, mode="drop")
+
+    raw_pos = dets.searchsorted_dets(arena.keys, ukeys)
+    apos = jnp.clip(raw_pos, 0, c - 1)
+    found = (
+        dets.det_eq(arena.keys[apos], ukeys)
+        & (raw_pos < c)
+        & ~dets.is_invalid(ukeys)
+    )
+    found = found & arena.valid[apos]
+
+    seg_live = jnp.zeros((s,), jnp.bool_)
+    nonini_occ_add = jnp.int32(0)
+    contribs = []
+    for row in range(r):
+        occupied_r = found & (arena.vals[row][apos] != 0)
+        elem_occ_r = occupied_r[jnp.clip(seg_id, 0, s - 1)] & s_valid
+        mine = s_valid & (srows == row)
+        allowed_r = mine & (sini | elem_occ_r)
+        nonini_occ_add += jnp.sum(mine & ~sini & elem_occ_r, dtype=jnp.int32)
+        contribs.append(
+            jnp.zeros((s,), svals.dtype).at[seg_id].add(
+                jnp.where(allowed_r, svals, 0), mode="drop"
+            )
+        )
+        seg_live = seg_live | jnp.zeros((s,), jnp.bool_).at[seg_id].max(
+            allowed_r, mode="drop"
+        )
+    contrib_rows = jnp.stack(contribs)  # (R, S) per-unique sums
+
+    new_vals = arena.vals.at[:, jnp.where(found, apos, c)].add(
+        jnp.where(found[None, :], contrib_rows, 0), mode="drop"
+    )
+
+    a_valid = arena.valid
+    n_avalid = jnp.sum(a_valid, dtype=jnp.int32)
+    is_new = (~found) & seg_live & ~dets.is_invalid(ukeys)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.sum(is_new, dtype=jnp.int32)
+    overflow = n_avalid + n_new > c
+
+    pos_in_uniq = dets.searchsorted_dets(ukeys, arena.keys)
+    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
+    new_less = jnp.where(pos_in_uniq > 0, cum_new[jnp.maximum(pos_in_uniq - 1, 0)], 0)
+    arena_dest = jnp.where(a_valid, jnp.arange(c, dtype=jnp.int32) + new_less, c)
+    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c)
+
+    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
+    out_keys = out_keys.at[arena_dest].set(arena.keys, mode="drop")
+    out_keys = out_keys.at[uniq_dest].set(ukeys, mode="drop")
+    out_vals = jnp.zeros((r, c), arena.vals.dtype)
+    out_vals = out_vals.at[:, arena_dest].set(new_vals, mode="drop")
+    out_vals = out_vals.at[:, uniq_dest].add(
+        jnp.where(is_new[None, :], contrib_rows, 0), mode="drop"
+    )
+
+    new_arena = Arena(
+        keys=out_keys,
+        vals=out_vals,
         n_used=jnp.minimum(n_avalid + n_new, c)[None],
     )
     return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}

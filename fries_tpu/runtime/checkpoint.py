@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from fries_tpu import dets
 from fries_tpu.runtime import arena as ar
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: no occ/diag payloads (recomputed from keys)
 
 
 def save_state(path, state, extra: dict | None = None):
@@ -30,8 +30,6 @@ def save_state(path, state, extra: dict | None = None):
         "version": FORMAT_VERSION,
         "keys": np.asarray(a.keys),
         "vals": np.asarray(a.vals),
-        "occ": np.asarray(a.occ),
-        "diag": np.asarray(a.diag),
         "n_used": np.asarray(a.n_used),
         "key": np.asarray(jax.random.key_data(state.key)),
         "iterat": np.asarray(state.iterat),
@@ -55,23 +53,16 @@ def load_arena(path, drop_below: float = 1e-9):
     w = keys.shape[1]
     keys = np.where(live[:, None], keys, np.asarray(dets.invalid_det(w))[None, :])
     vals = np.where(live[None, :], vals, 0.0)
-    a = ar.Arena(
-        keys=jnp.asarray(keys),
-        vals=jnp.asarray(vals),
-        occ=jnp.asarray(z["occ"]),
-        diag=jnp.asarray(z["diag"]),
-        n_used=jnp.asarray([int(live.sum())], jnp.int32),
-    )
     # restore sortedness after the drop (cheap host-side check/re-sort)
     return ar.from_unsorted(
-        ar.make(a.capacity, w, vals.shape[0], z["occ"].shape[1]),
-        a.keys, a.vals, a.occ, a.diag,
+        ar.make(keys.shape[0], w, vals.shape[0]),
+        jnp.asarray(keys), jnp.asarray(vals),
     )
 
 
 def load_scalars(path):
     z = np.load(path)
-    out = {k: z[k] for k in z.files if k not in ("keys", "vals", "occ", "diag")}
+    out = {k: z[k] for k in z.files if k not in ("keys", "vals", "occ", "diag")}  # occ/diag only in v1 files
     return out
 
 

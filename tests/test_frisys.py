@@ -92,20 +92,19 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
     vals = jnp.asarray([1.0, -0.5, 0.25][: keys.shape[0]])
 
     from fries_tpu.runtime import arena as ar
-    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
-    a = ar.from_unsorted(
-        a, keys, vals[None, :], occ, jnp.zeros(keys.shape[0])
-    )
+    a = ar.make(cfg.capacity, ham.n_words, 1)
+    a = ar.from_unsorted(a, keys, vals[None, :])
     avals = jnp.where(a.valid, a.vals[0], 0.0)
 
-    w, amp, _, _, _ = jax.jit(spawn)(
-        a.keys, a.occ, avals, -cfg.eps, jax.random.key(0)
+    w, amp, _ = jax.jit(spawn)(
+        a.keys, avals, -cfg.eps, jax.random.key(0)
     )
     got = dense_spawn_map(ham, w, amp, 2 * n_orb)
 
     # exact reference
     tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
-    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, a.occ, avals, -cfg.eps)
+    aocc = dets.occ_list(a.keys, 2 * n_orb, n_elec)
+    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, aocc, avals, -cfg.eps)
     want = dense_spawn_map(ham, ew.reshape(-1, ham.n_words), ea.reshape(-1), 2 * n_orb)
 
     all_keys = set(got) | set(want)
@@ -117,8 +116,8 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
 
     # f32 stage rows + chunked emission: same set of excitations, values
     # within f32 rounding of exact
-    w32, amp32, _, _, _ = jax.jit(spawn32)(
-        a.keys, a.occ, avals, -cfg.eps, jax.random.key(0)
+    w32, amp32, _ = jax.jit(spawn32)(
+        a.keys, avals, -cfg.eps, jax.random.key(0)
     )
     got32 = dense_spawn_map(ham, w32, amp32, 2 * n_orb)
     for k in set(got32) | set(want):
@@ -144,16 +143,14 @@ def test_hbpp_unbiased_small_budget(unnorm):
 
     hf_words, hf_occ, _ = mol.hf_reference(ham)
     from fries_tpu.runtime import arena as ar
-    a = ar.make(cfg.capacity, ham.n_words, 1, n_elec)
-    a = ar.from_unsorted(
-        a, hf_words[None], jnp.asarray([[1.0]]), hf_occ[None], jnp.zeros(1)
-    )
+    a = ar.make(cfg.capacity, ham.n_words, 1)
+    a = ar.from_unsorted(a, hf_words[None], jnp.asarray([[1.0]]))
     avals = jnp.where(a.valid, a.vals[0], 0.0)
 
     n_rep = 600
     keys = jax.random.split(jax.random.key(7), n_rep)
-    w, amp, _, _, _ = jax.jit(
-        jax.vmap(lambda k: spawn(a.keys, a.occ, avals, -cfg.eps, k))
+    w, amp, _ = jax.jit(
+        jax.vmap(lambda k: spawn(a.keys, avals, -cfg.eps, k))
     )(keys)
 
     acc = {}
@@ -165,7 +162,8 @@ def test_hbpp_unbiased_small_budget(unnorm):
             acc[k] = acc.get(k, 0.0) + v / n_rep
 
     tmpl = mol.ExcitationTemplate.build(n_orb, n_elec)
-    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, a.occ, avals, -cfg.eps)
+    aocc = dets.occ_list(a.keys, 2 * n_orb, n_elec)
+    ew, ea, _ = mol.exact_offdiag_batch(ham, tmpl, a.keys, aocc, avals, -cfg.eps)
     want = dense_spawn_map(ham, ew.reshape(-1, ham.n_words), ea.reshape(-1), 2 * n_orb)
 
     tot_want = sum(abs(v) for v in want.values())

@@ -131,10 +131,10 @@ def test_frisys_hh_spawner_exact_when_budget_large():
     occ = hub.occ_list(ham, keys)
     vals = jnp.asarray([1.0, -0.4])
 
-    a = ar.make(cfg.capacity, ham.n_words, 1, ham.n_elec)
-    a = ar.from_unsorted(a, keys, vals[None, :], occ, jnp.zeros(2))
+    a = ar.make(cfg.capacity, ham.n_words, 1)
+    a = ar.from_unsorted(a, keys, vals[None, :])
     avals = jnp.where(a.valid, a.vals[0], 0.0)
-    w, amp, _, _, _ = jax.jit(spawn)(a.keys, a.occ, avals, -cfg.eps, jax.random.key(0))
+    w, amp, _ = jax.jit(spawn)(a.keys, avals, -cfg.eps, jax.random.key(0))
 
     def dense_map(words, amps):
         out = {}

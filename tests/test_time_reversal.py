@@ -177,8 +177,8 @@ def test_sampled_tr_fold_matches_exact(system):
         spawn = frisys.make_hbpp_spawner(
             ham, tens, syminfo, p_doub, cfg, e_ref=0.0
         )
-        w, amp, _, _, _ = jax.jit(spawn)(
-            keys, occ, v_use, -cfg.eps, jax.random.key(0)
+        w, amp, _ = jax.jit(spawn)(
+            keys, v_use, -cfg.eps, jax.random.key(0)
         )
         got = {}
         wn = np.asarray(w)
