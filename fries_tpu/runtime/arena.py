@@ -127,24 +127,38 @@ def from_unsorted(arena: Arena, keys, vals) -> Arena:
     )
 
 
+def _rank_select(cum_inc: jax.Array, n_out: int):
+    """src[j] = index of the (j+1)-th flagged element, given the inclusive
+    cumsum of the flag vector.  Sorted queries against a sorted array: the
+    single-launch sort-method searchsorted replaces a scatter (TPU scatters
+    measured ~45 ns/element; gathers are ~10x cheaper)."""
+    j = jnp.arange(n_out, dtype=cum_inc.dtype)
+    return jnp.searchsorted(cum_inc, j + 1, side="left", method="sort")
+
+
 @jax.jit
 def compact(arena: Arena, keep_mask: jax.Array) -> Arena:
     """Remove entries where ``keep_mask`` is False (stable, stays sorted).
 
     Replaces DistVec::del_at_pos / cleanup (vec_utils.hpp:458-499); callers
     typically keep entries that remain nonzero in any value row or are
-    protected (reference frisys_mol.cpp:534-539).
+    protected (reference frisys_mol.cpp:534-539).  Gather-based: output slot
+    j pulls the (j+1)-th kept row (no scatters).
     """
     c, w = arena.keys.shape
     keep = keep_mask & arena.valid
-    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, c)
-    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
-    out_keys = out_keys.at[pos].set(arena.keys, mode="drop")
-    out_vals = jnp.zeros_like(arena.vals).at[:, pos].set(arena.vals, mode="drop")
+    cum = jnp.cumsum(keep.astype(jnp.int32))
+    n_live = cum[-1]
+    src = jnp.clip(_rank_select(cum, c), 0, c - 1)
+    valid_out = jnp.arange(c, dtype=jnp.int32) < n_live
+    out_keys = jnp.where(
+        valid_out[:, None], arena.keys[src], jnp.asarray(dets.invalid_det(w))
+    )
+    out_vals = jnp.where(valid_out[None, :], arena.vals[:, src], 0)
     return Arena(
         keys=out_keys,
         vals=out_vals,
-        n_used=jnp.sum(keep, dtype=jnp.int32)[None],
+        n_used=n_live[None],
     )
 
 
@@ -226,77 +240,112 @@ def accumulate(
     s = spawn_keys.shape[0]
     r = arena.n_vecs
 
-    # ---- 1. sort spawns by key ----
+    # ---- 1. sort spawns by key; segment structure from cumsums ----
+    # (everything below is sorts, searchsorteds, cumsums, and gathers -
+    # NO scatters: TPU scatters measured ~45 ns/element, an order of
+    # magnitude over gathers, and dominated the original merge)
     perm = _sort_perm(spawn_keys)
     skeys = spawn_keys[perm]
     svals = spawn_vals[perm]
     sini = spawn_ini[perm]
     s_valid = ~dets.is_invalid(skeys)
+    n_svalid = jnp.sum(s_valid, dtype=jnp.int32)
 
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), ~dets.det_eq(skeys[1:], skeys[:-1])]
     ) & s_valid
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [-1 for leading invalid]
-    seg_id = jnp.where(s_valid, seg_id, s)
+    nfirst = jnp.cumsum(first.astype(jnp.int32))  # inclusive
+    seg_id = jnp.where(s_valid, nfirst - 1, s)
+    n_uniq = nfirst[-1]
 
-    # unique spawn keys compacted to the front (sorted, sentinel padded)
-    upos = jnp.where(first, jnp.cumsum(first.astype(jnp.int32)) - 1, s)
-    ukeys = jnp.tile(dets.invalid_det(w), (s, 1)).at[upos].set(skeys, mode="drop")
+    # unique segments by rank-select: start of the u-th segment, end = next-1
+    u_idx = jnp.arange(s, dtype=jnp.int32)
+    valid_u = u_idx < n_uniq
+    seg_start = jnp.clip(_rank_select(nfirst, s), 0, s - 1)
+    seg_next = jnp.concatenate([seg_start[1:], jnp.full((1,), s, jnp.int32)])
+    seg_end = jnp.clip(
+        jnp.where(u_idx + 1 < n_uniq, seg_next - 1, n_svalid - 1), 0, s - 1
+    )
+    ukeys = jnp.where(
+        valid_u[:, None], skeys[seg_start], jnp.asarray(dets.invalid_det(w))
+    )
 
     # ---- 2. arena lookup: does each unique key exist with nonzero origin? --
-    # (raw insertion position doubles as a_less below - one search, two uses)
     raw_pos = dets.searchsorted_dets(arena.keys, ukeys)
     apos = jnp.clip(raw_pos, 0, c - 1)
     found = (
         dets.det_eq(arena.keys[apos], ukeys)
         & (raw_pos < c)
-        & ~dets.is_invalid(ukeys)
+        & valid_u
     )
     found = found & arena.valid[apos]
     occupied = found & (arena.vals[origin_row][apos] != 0)
 
-    # per-spawn gating and segment contribution sums
+    # per-spawn gating; segment sums via cumulative differences at boundaries
     elem_occupied = occupied[jnp.clip(seg_id, 0, s - 1)] & s_valid
     allowed = s_valid & (sini | elem_occupied)
     nonini_occ_add = jnp.sum(s_valid & ~sini & elem_occupied, dtype=jnp.int32)
-    contrib = jnp.zeros((s,), svals.dtype).at[seg_id].add(
-        jnp.where(allowed, svals, 0), mode="drop"
-    )
-    seg_live = jnp.zeros((s,), jnp.bool_).at[seg_id].max(allowed, mode="drop")
+    csum_v = jnp.cumsum(jnp.where(allowed, svals, 0))
+    csum_n = jnp.cumsum(allowed.astype(jnp.int32))
 
-    # ---- 3. add found contributions onto the arena rows ----
-    new_vals = arena.vals.at[dest_row, jnp.where(found, apos, c)].add(
-        jnp.where(found, contrib, 0), mode="drop"
-    )
+    def seg_diff(csum):
+        lo = jnp.where(seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)
+        return csum[seg_end] - lo
 
-    # ---- 4. positions of arena rows and new unique keys in the output ----
+    contrib = jnp.where(valid_u, seg_diff(csum_v), 0.0)
+    seg_live = valid_u & (seg_diff(csum_n) > 0)
+
+    # ---- 3. output layout ----
     a_valid = arena.valid
     n_avalid = jnp.sum(a_valid, dtype=jnp.int32)
-    is_new = (~found) & seg_live & ~dets.is_invalid(ukeys)
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_new = jnp.sum(is_new, dtype=jnp.int32)
+    is_new = (~found) & seg_live
+    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
+    new_rank = cum_new - 1
+    n_new = cum_new[-1]
     overflow = n_avalid + n_new > c
 
-    # arena row i goes to i + (# new keys < key_i); since arena rows are the
-    # first n_avalid slots and uniques are sorted, count via searchsorted
-    pos_in_uniq = dets.searchsorted_dets(ukeys, arena.keys)
-    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
-    new_less = jnp.where(pos_in_uniq > 0, cum_new[jnp.maximum(pos_in_uniq - 1, 0)], 0)
-    arena_dest = jnp.where(
-        a_valid, jnp.arange(c, dtype=jnp.int32) + new_less, c
+    # destination of each new unique (strictly increasing on the new subset)
+    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c + s)
+    ud_sorted, usrc = lax.sort(
+        [uniq_dest, u_idx], num_keys=1, is_stable=True
     )
 
-    # new unique key j goes to (# valid arena keys < key_j) + rank among new
-    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c)
+    # ---- 4. gather-based placement: each output slot pulls its source ----
+    j = jnp.arange(c, dtype=jnp.int32)
+    # #new uniques placed at slots <= j (ud_sorted ascending, queries sorted)
+    n_new_leq = jnp.searchsorted(ud_sorted, j, side="right", method="sort")
+    prev = jnp.clip(n_new_leq - 1, 0, s - 1)
+    is_new_out = (n_new_leq > 0) & (ud_sorted[prev] == j)
+    new_u = usrc[prev]
 
-    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
-    out_keys = out_keys.at[arena_dest].set(arena.keys, mode="drop")
-    out_keys = out_keys.at[uniq_dest].set(ukeys, mode="drop")
-    out_vals = jnp.zeros((r, c), arena.vals.dtype)
-    out_vals = out_vals.at[:, arena_dest].set(new_vals, mode="drop")
-    out_vals = out_vals.at[dest_row, uniq_dest].add(
-        jnp.where(is_new, contrib, 0), mode="drop"
+    arena_src = jnp.clip(j - n_new_leq, 0, c - 1)
+    from_arena = (~is_new_out) & (j - n_new_leq < n_avalid) & (j - n_new_leq >= 0)
+
+    src_u = jnp.where(is_new_out, new_u, 0)
+    out_keys = jnp.where(
+        is_new_out[:, None],
+        ukeys[src_u],
+        jnp.where(
+            from_arena[:, None],
+            arena.keys[arena_src],
+            jnp.asarray(dets.invalid_det(w)),
+        ),
     )
+
+    # arena-sourced rows: add this key's merged contribution to dest_row
+    # (replaces the scatter-add onto arena.vals); locate the matching unique
+    pos_in_uniq = jnp.clip(
+        dets.searchsorted_dets(ukeys, arena.keys[arena_src]), 0, s - 1
+    )
+    hit = (
+        from_arena
+        & dets.det_eq(ukeys[pos_in_uniq], arena.keys[arena_src])
+        & found[pos_in_uniq]
+    )
+    base_vals = jnp.where(from_arena[None, :], arena.vals[:, arena_src], 0)
+    add_dest = jnp.where(hit, contrib[pos_in_uniq], 0.0)
+    add_dest = jnp.where(is_new_out, contrib[src_u], add_dest)
+    out_vals = base_vals.at[dest_row].add(add_dest.astype(arena.vals.dtype))
 
     new_arena = Arena(
         keys=out_keys,
@@ -331,24 +380,36 @@ def accumulate_multi(
     sini = spawn_ini[perm]
     srows = spawn_rows[perm]
     s_valid = ~dets.is_invalid(skeys)
+    n_svalid = jnp.sum(s_valid, dtype=jnp.int32)
 
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), ~dets.det_eq(skeys[1:], skeys[:-1])]
     ) & s_valid
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    seg_id = jnp.where(s_valid, seg_id, s)
+    nfirst = jnp.cumsum(first.astype(jnp.int32))
+    seg_id = jnp.where(s_valid, nfirst - 1, s)
+    n_uniq = nfirst[-1]
 
-    upos = jnp.where(first, jnp.cumsum(first.astype(jnp.int32)) - 1, s)
-    ukeys = jnp.tile(dets.invalid_det(w), (s, 1)).at[upos].set(skeys, mode="drop")
+    u_idx = jnp.arange(s, dtype=jnp.int32)
+    valid_u = u_idx < n_uniq
+    seg_start = jnp.clip(_rank_select(nfirst, s), 0, s - 1)
+    seg_next = jnp.concatenate([seg_start[1:], jnp.full((1,), s, jnp.int32)])
+    seg_end = jnp.clip(
+        jnp.where(u_idx + 1 < n_uniq, seg_next - 1, n_svalid - 1), 0, s - 1
+    )
+    ukeys = jnp.where(
+        valid_u[:, None], skeys[seg_start], jnp.asarray(dets.invalid_det(w))
+    )
 
     raw_pos = dets.searchsorted_dets(arena.keys, ukeys)
     apos = jnp.clip(raw_pos, 0, c - 1)
     found = (
-        dets.det_eq(arena.keys[apos], ukeys)
-        & (raw_pos < c)
-        & ~dets.is_invalid(ukeys)
+        dets.det_eq(arena.keys[apos], ukeys) & (raw_pos < c) & valid_u
     )
     found = found & arena.valid[apos]
+
+    def seg_diff(csum):
+        lo = jnp.where(seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0)
+        return csum[seg_end] - lo
 
     seg_live = jnp.zeros((s,), jnp.bool_)
     nonini_occ_add = jnp.int32(0)
@@ -360,40 +421,62 @@ def accumulate_multi(
         allowed_r = mine & (sini | elem_occ_r)
         nonini_occ_add += jnp.sum(mine & ~sini & elem_occ_r, dtype=jnp.int32)
         contribs.append(
-            jnp.zeros((s,), svals.dtype).at[seg_id].add(
-                jnp.where(allowed_r, svals, 0), mode="drop"
+            jnp.where(
+                valid_u,
+                seg_diff(jnp.cumsum(jnp.where(allowed_r, svals, 0))),
+                0.0,
             )
         )
-        seg_live = seg_live | jnp.zeros((s,), jnp.bool_).at[seg_id].max(
-            allowed_r, mode="drop"
+        seg_live = seg_live | (
+            valid_u & (seg_diff(jnp.cumsum(allowed_r.astype(jnp.int32))) > 0)
         )
     contrib_rows = jnp.stack(contribs)  # (R, S) per-unique sums
 
-    new_vals = arena.vals.at[:, jnp.where(found, apos, c)].add(
-        jnp.where(found[None, :], contrib_rows, 0), mode="drop"
-    )
-
     a_valid = arena.valid
     n_avalid = jnp.sum(a_valid, dtype=jnp.int32)
-    is_new = (~found) & seg_live & ~dets.is_invalid(ukeys)
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_new = jnp.sum(is_new, dtype=jnp.int32)
+    is_new = (~found) & seg_live
+    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
+    new_rank = cum_new - 1
+    n_new = cum_new[-1]
     overflow = n_avalid + n_new > c
 
-    pos_in_uniq = dets.searchsorted_dets(ukeys, arena.keys)
-    cum_new = jnp.cumsum(is_new.astype(jnp.int32))
-    new_less = jnp.where(pos_in_uniq > 0, cum_new[jnp.maximum(pos_in_uniq - 1, 0)], 0)
-    arena_dest = jnp.where(a_valid, jnp.arange(c, dtype=jnp.int32) + new_less, c)
-    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c)
+    uniq_dest = jnp.where(is_new, raw_pos + new_rank, c + s)
+    ud_sorted, usrc = lax.sort([uniq_dest, u_idx], num_keys=1, is_stable=True)
 
-    out_keys = jnp.tile(dets.invalid_det(w), (c, 1))
-    out_keys = out_keys.at[arena_dest].set(arena.keys, mode="drop")
-    out_keys = out_keys.at[uniq_dest].set(ukeys, mode="drop")
-    out_vals = jnp.zeros((r, c), arena.vals.dtype)
-    out_vals = out_vals.at[:, arena_dest].set(new_vals, mode="drop")
-    out_vals = out_vals.at[:, uniq_dest].add(
-        jnp.where(is_new[None, :], contrib_rows, 0), mode="drop"
+    j = jnp.arange(c, dtype=jnp.int32)
+    n_new_leq = jnp.searchsorted(ud_sorted, j, side="right", method="sort")
+    prev = jnp.clip(n_new_leq - 1, 0, s - 1)
+    is_new_out = (n_new_leq > 0) & (ud_sorted[prev] == j)
+    new_u = usrc[prev]
+
+    arena_src = jnp.clip(j - n_new_leq, 0, c - 1)
+    from_arena = (~is_new_out) & (j - n_new_leq < n_avalid) & (j - n_new_leq >= 0)
+
+    src_u = jnp.where(is_new_out, new_u, 0)
+    out_keys = jnp.where(
+        is_new_out[:, None],
+        ukeys[src_u],
+        jnp.where(
+            from_arena[:, None],
+            arena.keys[arena_src],
+            jnp.asarray(dets.invalid_det(w)),
+        ),
     )
+
+    pos_in_uniq = jnp.clip(
+        dets.searchsorted_dets(ukeys, arena.keys[arena_src]), 0, s - 1
+    )
+    hit = (
+        from_arena
+        & dets.det_eq(ukeys[pos_in_uniq], arena.keys[arena_src])
+        & found[pos_in_uniq]
+    )
+    base_vals = jnp.where(from_arena[None, :], arena.vals[:, arena_src], 0)
+    add_rows = jnp.where(hit[None, :], contrib_rows[:, pos_in_uniq], 0.0)
+    add_rows = jnp.where(
+        is_new_out[None, :], contrib_rows[:, src_u], add_rows
+    )
+    out_vals = base_vals + add_rows.astype(arena.vals.dtype)
 
     new_arena = Arena(
         keys=out_keys,
