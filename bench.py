@@ -90,14 +90,16 @@ def main():
 
     # warmup: same static scan length as the timed region (a different n_iter
     # would trigger a recompile inside the timing), repeated to reach a
-    # steady-state population
+    # steady-state population.  Timing fetches a scalar to host:
+    # block_until_ready has been observed returning early under the axon
+    # tunnel, yielding nonsense wall-clock numbers.
     for _ in range(n_warm):
         state, m = run_steps(state, *args, n_time)
-    jax.block_until_ready(m)
+    float(np.asarray(m["norm"]).reshape(-1)[-1])
 
     t0 = time.perf_counter()
     state, m = run_steps(state, *args, n_time)
-    jax.block_until_ready(m)
+    float(np.asarray(m["norm"]).reshape(-1)[-1])
     dt = time.perf_counter() - t0
 
     iters_per_sec = n_time / dt

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fries_tpu import compress, dets
+from fries_tpu import compress, dets, kernels
 from fries_tpu.drivers import power
 from fries_tpu.ops import heat_bath as hb
 from fries_tpu.ops import molecule as mol
@@ -80,7 +80,7 @@ class FrisysConfig:
 def _rank_to_index(mask, rank):
     """Column of the rank-th True entry per row (K if out of range)."""
     k = mask.shape[-1]
-    cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    cum = kernels.row_cumsum(mask).astype(jnp.int32) - 1
     hit = mask & (cum == rank[..., None])
     idx = jnp.sum(jnp.where(hit, jnp.arange(k, dtype=jnp.int32), 0), axis=-1)
     found = jnp.any(hit, axis=-1)
@@ -214,7 +214,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         # singles: electron choice from allowed rank
         s_elec, s_found = _rank_to_index(per_elec > 0, sing_rank)
         s_elec = jnp.where(s_found, s_elec, 0)
-        s_nvirt = jnp.take_along_axis(per_elec, s_elec[:, None], axis=-1)[:, 0]
+        s_nvirt = kernels.take_along_small(per_elec, s_elec)
         sing_ok = (~is_doub) & live & s_found & (s_nvirt > 0)
         ndivC = jnp.where(is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
         valC_in = jnp.where(is_doub | sing_ok, val, 0.0)
@@ -237,8 +237,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
 
         # ---------------- level D: u1 (doubles) ----------------
         s_occ, s_keys, occ_bits = gather_det()
-        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
-        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        o1_orb = kernels.take_along_small(s_occ, o1_idx)
+        o2_orb = kernels.take_along_small(s_occ, o2_idx)
         if unnorm:
             same_oo = (o1_orb // n_orb) == (o2_orb // n_orb)
             probsD, u1_frac, virtsD = hb.u1_probs(
@@ -268,8 +268,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
 
         # ---------------- level E: u2 (doubles) ----------------
         s_occ, s_keys, occ_bits = gather_det()
-        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
-        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        o1_orb = kernels.take_along_small(s_occ, o1_idx)
+        o2_orb = kernels.take_along_small(s_occ, o2_idx)
         spin1 = o1_orb // n_orb
         spin_bits = jnp.where(
             (spin1 == 0)[:, None],
@@ -277,9 +277,9 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             occ_bits[:, n_orb : 2 * n_orb],
         )
         virts = hb.virtual_slots(n_orb, n_elec, spin_bits)
-        u1_sp = jnp.take_along_axis(
-            virts, jnp.clip(u1_slot, 0, n_virt - 1)[:, None], axis=-1
-        )[:, 0]
+        u1_sp = kernels.take_along_small(
+            virts, jnp.clip(u1_slot, 0, n_virt - 1)
+        )
         u1_orb = jnp.where(u1_sp < n_orb, u1_sp + spin1 * n_orb, 0)
         probsE, u2_frac, orb_rowE = hb.u2_probs(
             tens, n_orb, symm, lookup, o1_orb, o2_orb, u1_orb,
@@ -313,22 +313,27 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         sign = jnp.sign(vals[det_idx])
 
         # doubles
-        o1_orb = jnp.take_along_axis(s_occ, o1_idx[:, None], axis=-1)[:, 0]
-        o2_orb = jnp.take_along_axis(s_occ, o2_idx[:, None], axis=-1)[:, 0]
+        o1_orb = kernels.take_along_small(s_occ, o1_idx)
+        o2_orb = kernels.take_along_small(s_occ, o2_idx)
         spin1 = o1_orb // n_orb
         spin2 = o2_orb // n_orb
         spin_bits1 = jnp.where(
             (spin1 == 0)[:, None], occ_bits[:, :n_orb], occ_bits[:, n_orb : 2 * n_orb]
         )
         virts = hb.virtual_slots(n_orb, n_elec, spin_bits1)
-        u1_sp = jnp.take_along_axis(
-            virts, jnp.clip(u1_slot, 0, n_virt - 1)[:, None], axis=-1
-        )[:, 0]
+        u1_sp = kernels.take_along_small(
+            virts, jnp.clip(u1_slot, 0, n_virt - 1)
+        )
         u1_orb = jnp.where(u1_sp < n_orb, u1_sp + spin1 * n_orb, 0)
-        g = symm[o1_orb % n_orb] ^ symm[o2_orb % n_orb] ^ symm[u1_orb % n_orb]
-        u2_sp = jnp.take_along_axis(
-            lookup[g], jnp.clip(u2_slot, 0, lookup.shape[1] - 1)[:, None], axis=-1
-        )[:, 0]
+        g = (
+            kernels.take_small(symm, o1_orb % n_orb)
+            ^ kernels.take_small(symm, o2_orb % n_orb)
+            ^ kernels.take_small(symm, u1_orb % n_orb)
+        )
+        u2_sp = kernels.take_along_small(
+            kernels.take_rows_small(lookup, g),
+            jnp.clip(u2_slot, 0, lookup.shape[1] - 1),
+        )
         u2_valid = u2_sp < n_orb
         u2_orb = jnp.where(u2_valid, u2_sp, 0) + spin2 * n_orb
         u2_occupied = hb.dets_read(occ_bits, u2_orb[:, None], 2 * n_orb)[:, 0]
@@ -362,21 +367,21 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
         )
         per_elec, n_occ_allowed = hb.sing_allowed(n_orb, n_elec, symm, counts, s_occ)
-        so_orb = jnp.take_along_axis(s_occ, s_elec[:, None], axis=-1)[:, 0]
+        so_orb = kernels.take_along_small(s_occ, s_elec)
         so_spin = so_orb // n_orb
-        gs = symm[so_orb % n_orb]
-        orb_row = lookup[gs]  # (S, K) same-irrep spatial orbitals
+        gs = kernels.take_small(symm, so_orb % n_orb)
+        orb_row = kernels.take_rows_small(lookup, gs)  # (S, K) same-irrep spatial orbitals
         cand_bit = orb_row + so_spin[:, None] * n_orb
         cand_unocc = (orb_row < n_orb) & ~hb.dets_read(
             occ_bits, jnp.clip(cand_bit, 0, 2 * n_orb - 1), 2 * n_orb
         )
         su_col, su_found = _rank_to_index(cand_unocc, virt_rank)
-        su_sp = jnp.take_along_axis(
-            orb_row, jnp.clip(su_col, 0, orb_row.shape[1] - 1)[:, None], axis=-1
-        )[:, 0]
+        su_sp = kernels.take_along_small(
+            orb_row, jnp.clip(su_col, 0, orb_row.shape[1] - 1)
+        )
         su_orb = jnp.where(su_found & (su_sp < n_orb), su_sp + so_spin * n_orb, 0)
         sing_ok = is_sing & su_found & (su_sp < n_orb)
-        s_nvirt = jnp.take_along_axis(per_elec, s_elec[:, None], axis=-1)[:, 0]
+        s_nvirt = kernels.take_along_small(per_elec, s_elec)
         smel = mol.sing_matr_el(ham, so_orb, su_orb, s_occ)
         swords, ssign = dets.single_parity(s_keys, so_orb, su_orb)
         samp = jnp.where(

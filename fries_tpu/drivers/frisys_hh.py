@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fries_tpu import compress, dets
+from fries_tpu import compress, dets, kernels
 from fries_tpu.drivers import power
 from fries_tpu.ops import hubbard as hub
 from fries_tpu.runtime import arena as ar
@@ -58,7 +58,7 @@ class FrisysHHConfig:
 
 def _rank_to_index(mask, rank):
     k = mask.shape[-1]
-    cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    cum = kernels.row_cumsum(mask).astype(jnp.int32) - 1
     hit = mask & (cum == rank[..., None])
     idx = jnp.sum(jnp.where(hit, jnp.arange(k, dtype=jnp.int32), 0), axis=-1)
     return jnp.where(jnp.any(hit, axis=-1), idx, k), jnp.any(hit, axis=-1)
@@ -138,8 +138,8 @@ def make_spawner(ham: hub.HubbardHolstein, cfg: FrisysHHConfig, e_ref):
         ph_nums = hub.phonon_nums(ham, s_keys)
         elec = branch % n_elec
         raise_ = branch >= n_elec
-        site = jnp.take_along_axis(s_occ, elec[:, None], axis=-1)[:, 0] % n
-        ph_at = jnp.take_along_axis(ph_nums, site[:, None], axis=-1)[:, 0]
+        site = kernels.take_along_small(s_occ, elec) % n
+        ph_at = kernels.take_along_small(ph_nums, site)
         ok_lower = ~raise_ & (ph_at > 0)
         ok_raise = raise_ & (ph_at + 1 <= ham.max_ph)
         ph_ok = is_ph & (ok_lower | ok_raise)
