@@ -144,6 +144,9 @@ def _add_common(p, molecular=True):
     p.add_argument("--save_interval", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--load_dir")
+    p.add_argument("--n_chips", type=int, default=1,
+                   help="hash-shard the run over the first N devices "
+                        "(max_dets becomes per-chip capacity)")
 
 
 def main(argv=None):
@@ -267,6 +270,25 @@ def main(argv=None):
         determ_keys = None
         if args.det_space:
             determ_keys = io.read_dets(args.det_space, ham.n_bits)
+        if args.n_chips > 1:
+            from fries_tpu import parallel
+
+            assert determ_keys is None, (
+                "--det_space with --n_chips > 1 not yet supported"
+            )
+            mesh = parallel.make_mesh(args.n_chips)
+            cfg = frisys.FrisysConfig(
+                eps=args.epsilon, vec_nonz=args.vec_nonz,
+                matr_samp=args.mat_nonz, capacity=args.max_dets,
+                spawn_cap=int(args.mat_nonz * 1.4),
+                init_thresh=args.init_thresh, target_norm=args.target_norm,
+                unnorm=args.distribution == "HB_unnorm",
+                axis_name=parallel.AXIS, n_shards=args.n_chips,
+            )
+            step, run_steps, state, aux = frisys.build_sharded(
+                ham, cfg, seed=args.seed, mesh=mesh
+            )
+            return _run_power_driver(args, step, run_steps, state, aux)
         cfg = frisys.FrisysConfig(
             eps=args.epsilon, vec_nonz=args.vec_nonz, matr_samp=args.mat_nonz,
             capacity=args.max_dets, spawn_cap=int(args.mat_nonz * 1.4),

@@ -37,3 +37,21 @@ def test_cli_resume(tmp_path):
     # the resumed run continued from the checkpointed vector, not from scratch
     assert int(ck2["n_used"][0]) >= int(ck["n_used"][0]) // 2
     assert not np.array_equal(ck2["vals"], ck["vals"])
+
+
+def test_cli_multichip(tmp_path):
+    """--n_chips routes to the sharded build and runs on the virtual mesh."""
+    from fries_tpu import synth, io, cli
+
+    ham = synth.make_system(5, 4, seed=2)
+    fcid = str(tmp_path / "FCIDUMP")
+    io.write_fcidump(ham, fcid)
+    rdir = str(tmp_path / "run8")
+    cli.main([
+        "frisys_mol", "--fcidump_path", fcid, "--epsilon", "0.05",
+        "--vec_nonz", "60", "--mat_nonz", "200", "--max_dets", "128",
+        "--max_iter", "4", "--save_interval", "4", "--target", "80",
+        "--result_dir", rdir, "--seed", "3", "--n_chips", "8",
+    ])
+    num = np.loadtxt(os.path.join(rdir, "projnum.txt"))
+    assert np.isfinite(num).all() and len(num) == 4
