@@ -616,50 +616,53 @@ def comp_sub(
         n_samp, tot_norm0, axis_name,
     )
 
+    # scalar-threshold fixpoint: thresholds descend monotonically, so the
+    # final greedy set is exactly {u >= thr_final} - carrying the scalar
+    # instead of the (N, K) boolean mask keeps the loop state tiny and lets
+    # the emission recompute keep masks from thr on the fly
+    u_uni = w_uni / ndiv_f
+
+    def _counts_at(thr):
+        kept_sub_t = (w_sub > w_floor) & (w_sub >= thr)
+        kept_uni_t = (w_uni > 0) & (u_uni >= thr)
+        loc = (
+            jnp.sum(jnp.where(kept_sub_t, jnp.asarray(0.0, cdtype), w_sub),
+                    dtype=jnp.float64)
+            + jnp.sum(jnp.where(kept_uni_t, 0.0, w_uni))
+        )
+        budget_used = jnp.sum(kept_sub_t, dtype=jnp.int32) + jnp.sum(
+            jnp.where(kept_uni_t, ndiv, 0), dtype=jnp.int32
+        )
+        return loc, budget_used
+
     def cond(state):
-        _, _, n_added, rounds = state
-        return (n_added > 0) & (rounds < max_rounds)
+        thr, n_kept, n_prev, rounds = state
+        return (n_kept != n_prev) & (rounds < max_rounds)
 
     def body(state):
-        keep_sub, keep_uni, _, rounds = state
-        loc_norm = (
-            jnp.sum(jnp.where(keep_sub, jnp.asarray(0.0, cdtype), w_sub),
-                    dtype=jnp.float64)
-            + jnp.sum(jnp.where(keep_uni, 0.0, w_uni))
+        thr, n_kept, _, rounds = state
+        loc, used = _counts_at(thr)
+        glob_norm = _gsum(loc, axis_name)
+        used_g = _gsum(used, axis_name)
+        budget = jnp.maximum(n_samp - used_g, 0)
+        new_thr = jnp.where(
+            budget > 0,
+            glob_norm / jnp.maximum(budget, 1).astype(jnp.float64),
+            thr,
         )
-        glob_norm = _gsum(loc_norm, axis_name)
-        kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
-            jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
-        )
-        budget = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
-        thr = jnp.where(
-            budget > 0, glob_norm / jnp.maximum(budget, 1).astype(jnp.float64), jnp.inf
-        )
-        new_keep_sub = keep_sub | ((w_sub > w_floor) & (w_sub >= thr))
-        new_keep_uni = keep_uni | ((w_uni > 0) & (w_uni / ndiv_f >= thr))
-        n_added = _gsum(
-            jnp.sum(new_keep_sub & ~keep_sub, dtype=jnp.int32)
-            + jnp.sum(new_keep_uni & ~keep_uni, dtype=jnp.int32),
-            axis_name,
-        )
-        return new_keep_sub, new_keep_uni, n_added, rounds + 1
+        # thresholds only descend (each preserved element lowers the ratio)
+        new_thr = jnp.minimum(new_thr, thr)
+        return new_thr, used_g, n_kept, rounds + 1
 
-    keep_sub0 = (w_sub > w_floor) & (w_sub >= t_est)
-    keep_uni0 = (w_uni > 0) & (w_uni / ndiv_f >= t_est)
-    keep_sub, keep_uni, _, _ = lax.while_loop(
-        cond, body, (keep_sub0, keep_uni0, jnp.int32(1), jnp.int32(0))
+    thr_f, _, _, _ = lax.while_loop(
+        cond, body, (t_est, jnp.int32(-1), jnp.int32(-2), jnp.int32(0))
     )
+    keep_sub = (w_sub > w_floor) & (w_sub >= thr_f)
+    keep_uni = (w_uni > 0) & (u_uni >= thr_f)
 
     rem_uni = jnp.where(keep_uni, 0.0, w_uni)
-    loc_norm = (
-        jnp.sum(jnp.where(keep_sub, jnp.asarray(0.0, cdtype), w_sub),
-                dtype=jnp.float64)
-        + jnp.sum(rem_uni)
-    )
+    loc_norm, kept_budget = _counts_at(thr_f)
     glob_norm = _gsum(loc_norm, axis_name)
-    kept_budget = jnp.sum(keep_sub, dtype=jnp.int32) + jnp.sum(
-        jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
-    )
     n_grid = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
     # zero the stochastic budget only when the residual *global norm* is
     # negligible (reference compress_utils.cpp:93-96), not per-sample unit
@@ -729,7 +732,9 @@ def comp_sub(
         is_kept_emit = r < p_kept_counts
 
         w_rows = w_sub[parent]                          # (M', K) cdtype
-        keep_rows = keep_sub[parent]                    # (M', K)
+        # keep masks recomputed from the scalar final threshold - no second
+        # (M', K) gather
+        keep_rows = (w_rows > w_floor) & (w_rows >= thr_f)
         rem_rows_v = jnp.where(keep_rows, jnp.asarray(0.0, cdtype), w_rows)
 
         # kept emissions: column of the r-th kept sub in the parent's row
