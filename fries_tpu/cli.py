@@ -117,6 +117,11 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
             checkpoint.save_state(
                 os.path.join(result_dir, "checkpoint.npz"), state
             )
+            # arena occupancy diagnostic (print_ht parity, det_hash.hpp:98-114)
+            a = state.arena
+            with open(os.path.join(result_dir, "arena_occ.txt"), "a") as f:
+                used = int(np.asarray(a.n_used).sum())
+                f.write(f"{done},{used},{a.capacity},{used / a.capacity:.4f}\n")
     for f in files.values():
         f.close()
 

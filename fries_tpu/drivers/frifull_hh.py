@@ -28,7 +28,6 @@ def build(ham: hub.HubbardHolstein, e_ref: float, cfg: power.PowerConfig,
     neel = dets.pack_bits(
         dets.neel_bits_1d(ham.n_sites, ham.n_elec, ham.n_bits), ham.n_words
     )
-    neel_occ = hub.occ_list(ham, neel[None])[0]
 
     def spawn_one(keys, vals, h_fac, key):
         new_words, amps = hub.offdiag_batch(ham, keys, vals, h_fac)

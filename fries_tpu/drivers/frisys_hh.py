@@ -164,7 +164,6 @@ def build(ham: hub.HubbardHolstein, e_ref: float, cfg: FrisysHHConfig,
     neel = dets.pack_bits(
         dets.neel_bits_1d(ham.n_sites, ham.n_elec, ham.n_bits), ham.n_words
     )
-    neel_occ = hub.occ_list(ham, neel[None])[0]
 
     spawn = make_spawner(ham, cfg, e_ref)
 

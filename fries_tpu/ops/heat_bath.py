@@ -285,12 +285,17 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
 
     s_denom = jnp.sum(tens.s_tens * n_tot, axis=-1)
 
-    rows_ds1 = kernels.take_rows_small(tens.d_same, o1s)
-    rows_dd1 = kernels.take_rows_small(tens.d_diff, o1s)
-    rows_ds2 = kernels.take_rows_small(tens.d_same, o2s)
-    rows_dd2 = kernels.take_rows_small(tens.d_diff, o2s)
-    rows_o1 = kernels.take_rows_small(tens.exch_sqrt, o1s)
-    rows_o2 = kernels.take_rows_small(tens.exch_sqrt, o2s)
+    # one wide one-hot matmul per occupied orbital instead of three narrow
+    # ones: rows of [d_same | d_diff | exch_sqrt] fetched together
+    cat = jnp.concatenate([tens.d_same, tens.d_diff, tens.exch_sqrt], axis=1)
+    cat1 = kernels.take_rows_small(cat, o1s)
+    cat2 = kernels.take_rows_small(cat, o2s)
+    rows_ds1 = cat1[:, :n_orb]
+    rows_dd1 = cat1[:, n_orb : 2 * n_orb]
+    rows_o1 = cat1[:, 2 * n_orb :]
+    rows_ds2 = cat2[:, :n_orb]
+    rows_dd2 = cat2[:, n_orb : 2 * n_orb]
+    rows_o2 = cat2[:, 2 * n_orb :]
 
     n_same1 = jnp.where((o1_spin == 0)[:, None], n_alpha, n_beta)
     n_diff1 = jnp.where((o1_spin == 0)[:, None], n_beta, n_alpha)
