@@ -159,11 +159,25 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         live = parent >= 0
         is_doub = (sub == 0) & live
 
+        # one consolidated (C, E+W) arena payload: occ + bitcast keys fetched
+        # with a single row gather per level
+        from jax import lax as _lax
+
+        apay = jnp.concatenate(
+            [occ, _lax.bitcast_convert_type(keys, jnp.int32)], axis=1
+        )
+
         def gather_det():
-            s_occ = occ[det_idx]
-            s_keys = keys[det_idx]
+            row = apay[det_idx]
+            s_occ = row[:, :n_elec]
+            s_keys = _lax.bitcast_convert_type(row[:, n_elec:], jnp.uint32)
             occ_bits = dets.unpack_bits(s_keys, 2 * n_orb)
             return s_occ, s_keys, occ_bits
+
+        def remap(pidx, live_mask, cols):
+            """One packed row gather for all per-sample metadata columns."""
+            m = jnp.stack(cols, axis=1)[pidx]
+            return [m[:, i] for i in range(len(cols))]
 
         # ---------------- level B: o1 (doubles) / allowed count (singles) ---
         s_occ, s_keys, occ_bits = gather_det()
@@ -194,8 +208,8 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx = det_idx[pidx]
-        is_doub = is_doub[pidx] & live
+        det_idx, d_i = remap(pidx, live, [det_idx, is_doub.astype(jnp.int32)])
+        is_doub = (d_i != 0) & live
         o1_idx = jnp.where(is_doub, sub, 0)        # electron slot of o1
         sing_rank = jnp.where(~is_doub & live, sub, 0)  # allowed-electron rank
 
@@ -228,10 +242,10 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx = det_idx[pidx]
-        is_doub = is_doub[pidx] & live
-        o1_idx = o1_idx[pidx]
-        s_elec = s_elec[pidx]
+        det_idx, d_i, o1_idx, s_elec = remap(
+            pidx, live, [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec]
+        )
+        is_doub = (d_i != 0) & live
         o2_idx = jnp.where(is_doub, sub, 0)
         virt_rank = jnp.where(~is_doub & live, sub, 0)
 
@@ -258,12 +272,12 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx = det_idx[pidx]
-        is_doub = is_doub[pidx] & live
-        o1_idx = o1_idx[pidx]
-        o2_idx = o2_idx[pidx]
-        s_elec = s_elec[pidx]
-        virt_rank = virt_rank[pidx]
+        det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank = remap(
+            pidx, live,
+            [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
+             virt_rank],
+        )
+        is_doub = (d_i != 0) & live
         u1_slot = jnp.where(is_doub, sub, 0)
 
         # ---------------- level E: u2 (doubles) ----------------
@@ -298,14 +312,13 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx = det_idx[pidx]
-        is_doub = is_doub[pidx] & live
+        det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank, u1_slot = remap(
+            pidx, live,
+            [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
+             virt_rank, u1_slot],
+        )
+        is_doub = (d_i != 0) & live
         is_sing = (~is_doub) & live
-        o1_idx = o1_idx[pidx]
-        o2_idx = o2_idx[pidx]
-        s_elec = s_elec[pidx]
-        virt_rank = virt_rank[pidx]
-        u1_slot = u1_slot[pidx]
         u2_slot = jnp.where(is_doub, sub, 0)
 
         # ---------------- finalize ----------------
