@@ -407,11 +407,26 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
         eps=args.epsilon, n_trial=t, vec_nonz=args.vec_nonz,
         matr_samp=args.mat_nonz, capacity=args.max_dets,
         spawn_cap=int(args.mat_nonz * 1.4), restart_int=args.restart_int,
-        init_thresh=args.init_thresh, exact_h=exact_h,
+        init_thresh=args.init_thresh, exact_h=exact_h, lowmem=lowmem,
+        spin_parity=getattr(args, "time_reversal", 0),
     )
     step, run_steps, state, aux = subspace.build(
         ham, cfg, jnp.asarray(tk), jnp.asarray(tv), seed=args.seed
     )
+    import dataclasses
+    from fries_tpu.runtime import checkpoint
+
+    if getattr(args, "load_dir", None):
+        ckpt = os.path.join(args.load_dir, "checkpoint.npz")
+        scal = checkpoint.load_scalars(ckpt)
+        fields = {"arena": checkpoint.load_arena(ckpt),
+                  "key": checkpoint.restore_key(ckpt),
+                  "iterat": jnp.asarray(scal["iterat"])}
+        for name in ("norm_factors", "last_norms"):
+            if name in scal:
+                fields[name] = jnp.asarray(scal[name])
+        state = dataclasses.replace(state, **fields)
+        print(f"resumed from {ckpt} at iteration {int(scal['iterat'])}")
     _write_params(args.result_dir, args)
     hfile = _out(args.result_dir, "h_mat.txt")
     dfile = _out(args.result_dir, "d_mat.txt")
@@ -422,13 +437,22 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
         state, traj = run_steps(state, n)
         h = np.asarray(traj["h_mat"])
         dm = np.asarray(traj["d_mat"])
+        if bool(np.asarray(traj["overflow"]).any()):
+            raise SystemExit(
+                "ERROR: spawn/arena buffer overflow in subspace block ending "
+                f"at iteration {done + n}; increase --max_dets / mat_nonz"
+            )
         for i in range(h.shape[0]):
-            hfile.write(",".join(repr(x) for x in h[i].ravel()) + "\n")
-            dfile.write(",".join(repr(x) for x in dm[i].ravel()) + "\n")
+            hfile.write(",".join(repr(x.item()) for x in h[i].ravel()) + "\n")
+            dfile.write(",".join(repr(x.item()) for x in dm[i].ravel()) + "\n")
         hfile.flush()
         dfile.flush()
         done += n
         print(f"subspace iteration {done}")
+        if done % args.save_interval == 0 or done >= args.max_iter:
+            checkpoint.save_state(
+                os.path.join(args.result_dir, "checkpoint.npz"), state
+            )
     hfile.close()
     dfile.close()
 

@@ -55,3 +55,36 @@ def test_cli_multichip(tmp_path):
     ])
     num = np.loadtxt(os.path.join(rdir, "projnum.txt"))
     assert np.isfinite(num).all() and len(num) == 4
+
+
+def test_cli_subspace_resume(tmp_path):
+    """Subspace CLI checkpoints and resumes via --load_dir."""
+    import jax.numpy as jnp
+    from fries_tpu import synth, io, cli, dets
+    from fries_tpu.ops import molecule as mol
+
+    ham = synth.make_system(5, 4, seed=4)
+    fcid = str(tmp_path / "FCIDUMP")
+    io.write_fcidump(ham, fcid)
+    # two small trial vectors: HF and HF + a single excitation
+    hf_words, hf_occ, _ = mol.hf_reference(ham)
+    d1, _ = dets.single_parity(hf_words[None], jnp.asarray([1]), jnp.asarray([3]))
+    pre = str(tmp_path / "trial")
+    io.save_vec_txt(pre + "0_", np.asarray(hf_words)[None], np.asarray([1.0]),
+                    ham.n_bits)
+    io.save_vec_txt(pre + "1_", np.asarray(d1), np.asarray([1.0]), ham.n_bits)
+    rdir = str(tmp_path / "srun")
+    common = [
+        "subsp_mol", "--fcidump_path", fcid, "--epsilon", "0.05",
+        "--vec_nonz", "60", "--mat_nonz", "200", "--max_dets", "256",
+        "--max_iter", "6", "--save_interval", "3", "--trial_vecs", pre,
+        "--n_trial", "2", "--result_dir", rdir, "--seed", "5",
+    ]
+    cli.main(common)
+    with np.load(os.path.join(rdir, "checkpoint.npz")) as z:
+        it1 = int(z["iterat"])
+    assert it1 == 6
+    cli.main(common + ["--load_dir", rdir])
+    with np.load(os.path.join(rdir, "checkpoint.npz")) as z:
+        assert int(z["iterat"]) == 12
+    assert len(open(os.path.join(rdir, "h_mat.txt")).readlines()) == 12
