@@ -205,9 +205,9 @@ def main(argv=None):
 
     for name, descr in (
         ("subsp_mol", "multi-state subspace iteration"),
-        ("subsp_mol_lowmem", "subspace iteration (H*trial projected on the "
-         "fly; same driver - the replicated-sparse htrial design is already "
-         "low-memory)"),
+        ("subsp_mol_lowmem", "subspace iteration computing <trial|H|v> on "
+         "the fly each step - no stored H*trial rows (calc_h_dot, "
+         "molecule.cpp:667-885)"),
         ("subspfull_mol", "subspace iteration with exact H application"),
     ):
         p = sub.add_parser(name, help=descr)
