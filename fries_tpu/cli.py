@@ -27,6 +27,17 @@ def _out(result_dir, name):
     return open(os.path.join(result_dir, name), "a")
 
 
+def _plain(x):
+    """Unwrap numpy/jax scalars (arbitrarily nested in object arrays) to a
+    plain Python number so streamed files parse with ``np.loadtxt``."""
+    while hasattr(x, "item"):
+        y = x.item()
+        if y is x:
+            break
+        x = y
+    return x
+
+
 def _write_params(result_dir, args):
     os.makedirs(result_dir, exist_ok=True)
     with open(os.path.join(result_dir, "params.txt"), "w") as f:
@@ -103,7 +114,7 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
                 continue
             arr = np.asarray(traj[name]).reshape(len(np.asarray(traj["norm"])), -1)
             for row in arr:
-                f.write(",".join(repr(x.item()) for x in row) + "\n")
+                f.write(",".join(repr(_plain(x)) for x in row) + "\n")
             f.flush()
         done += n
         num = np.asarray(traj["proj_num"])[-1]
@@ -443,8 +454,8 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
                 f"at iteration {done + n}; increase --max_dets / mat_nonz"
             )
         for i in range(h.shape[0]):
-            hfile.write(",".join(repr(x.item()) for x in h[i].ravel()) + "\n")
-            dfile.write(",".join(repr(x.item()) for x in dm[i].ravel()) + "\n")
+            hfile.write(",".join(repr(_plain(x)) for x in h[i].ravel()) + "\n")
+            dfile.write(",".join(repr(_plain(x)) for x in dm[i].ravel()) + "\n")
         hfile.flush()
         dfile.flush()
         done += n
@@ -482,9 +493,9 @@ def _run_observables(args, ham, replica):
         num = np.asarray(traj["obs_num"])[sel]
         den = np.asarray(traj["obs_den"])[sel]
         for x in num:
-            numf.write(f"{x.item()!r}\n")
+            numf.write(f"{_plain(x)!r}\n")
         for x in den:
-            denf.write(f"{x.item()!r}\n")
+            denf.write(f"{_plain(x)!r}\n")
         numf.flush()
         denf.flush()
         done += n

@@ -1,0 +1,556 @@
+"""Pallas streaming sorted-merge accumulate kernel (TPU).
+
+Replaces the XLA searchsorted/gather formulation of
+:func:`fries_tpu.runtime.arena.accumulate` for the single-value-row case:
+one sequential-grid kernel walks the (sorted) arena and the (sorted) spawn
+stream with two pointers kept in SMEM, merges/dedups/gates in VMEM tiles,
+and appends finished rows to the output at a dynamic offset.  Semantics
+match ``arena.accumulate`` (reference two-pass add: FRIES/vec_utils.hpp:
+991-1019 + 606-641, initiator rule vec_utils.hpp:631-639).
+
+Mosaic has no 64-bit types, so the host-side wrapper re-encodes:
+
+* determinant keys -> two order-preserving int32 words ``(kh, kl)`` derived
+  from the packed int64 sort key (`dets.pack_key`): ``kh`` is the signed
+  top word, ``kl`` the sign-flipped bottom word; signed lexicographic
+  (kh, kl) order equals determinant order,
+* float64 values -> error-free float32 pairs ``(vh, vl)`` with
+  ``v = vh + vl`` to ~2^-48 relative; in-kernel sums use Knuth two-sum
+  (compensated) arithmetic, so accumulation error is ~1e-14 relative
+  (tests compare at 1e-9).
+
+Tile math is all vectorized VPU work: window-cross compare matrices give
+merge ranks, one-hot masked select-sums place rows (exact - a single
+nonzero per reduction), and log-step shifted segmented scans implement
+per-determinant contribution sums with cross-tile carries in SMEM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fries_tpu import dets
+
+TILE = 512          # merged-stream elements consumed per grid step
+STG = TILE + 8      # staging rows (slot 0 reserved for a carry flush)
+
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+# ---------------------------------------------------------------------------
+# host-side (XLA) encode / decode helpers
+# ---------------------------------------------------------------------------
+
+def split_key(words: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(N, W<=2) uint32 det words -> order-preserving (kh, kl) int32 pair."""
+    k = dets.pack_key(words)                      # int64, signed order == det order
+    kh = (k >> jnp.int64(32)).astype(jnp.int32)   # arithmetic shift keeps order
+    lo_u = (k & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    kl = lax.bitcast_convert_type(lo_u ^ jnp.uint32(0x80000000), jnp.int32)
+    return kh, kl
+
+
+def unsplit_key(kh: jax.Array, kl: jax.Array, n_words: int) -> jax.Array:
+    """Inverse of :func:`split_key` -> (N, W) uint32 words."""
+    hi_u = lax.bitcast_convert_type(kh, jnp.uint32)
+    lo_u = lax.bitcast_convert_type(kl, jnp.uint32) ^ jnp.uint32(0x80000000)
+    k = (hi_u.astype(jnp.uint64) << jnp.uint64(32)) | lo_u.astype(jnp.uint64)
+    u = lax.bitcast_convert_type(k, jnp.int64)
+    u = lax.bitcast_convert_type(u ^ jnp.int64(np.int64(-0x8000000000000000)),
+                                 jnp.uint64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    if n_words == 1:
+        return lo[..., None]
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def split_val(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f64 -> (hi, lo) f32 pair, v ~= hi + lo (error ~2^-48 relative)."""
+    vh = v.astype(jnp.float32)
+    vl = (v - vh.astype(jnp.float64)).astype(jnp.float32)
+    return vh, vl
+
+
+def _f2i(x):
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f_host(x):
+    return lax.bitcast_convert_type(x, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (f32-pair compensated arithmetic, segmented scans)
+# ---------------------------------------------------------------------------
+
+def _dd_add(ah, al, bh, bl):
+    """Compensated (hi, lo) + (hi, lo) in f32 (Knuth two-sum + renorm)."""
+    s = ah + bh
+    bb = s - ah
+    err = (ah - (s - bb)) + (bh - bb)
+    lo = al + bl + err
+    hi2 = s + lo
+    lo2 = lo - (hi2 - s)
+    return hi2, lo2
+
+
+def _shift_down(x, d, fill):
+    """x[p - d] with ``fill`` for p < d, along axis 0 of an (T, 1) vector."""
+    t = x.shape[0]
+    rolled = jnp.roll(x, d, axis=0)
+    idx = lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    return jnp.where(idx >= d, rolled, fill)
+
+
+def _seg_or_scan(flags, heads):
+    """Inclusive segmented OR-scan of int32 bitmask ``flags`` over (T,1).
+
+    ``heads`` marks segment starts (the head's own flags are included in its
+    segment's scan).
+    """
+    t = flags.shape[0]
+    f = flags
+    h = heads.astype(jnp.int32)
+    d = 1
+    while d < t:
+        pf = _shift_down(f, d, jnp.int32(0))
+        ph = _shift_down(h, d, jnp.int32(1))
+        f = jnp.where(h > 0, f, f | pf)
+        h = h | ph
+        d *= 2
+    return f
+
+
+def _prefix_or(x):
+    """Inclusive prefix-OR of an int32 (T, 1) vector."""
+    t = x.shape[0]
+    d = 1
+    while d < t:
+        x = x | _shift_down(x, d, jnp.int32(0))
+        d *= 2
+    return x
+
+
+def _seg_sum_scan(vh, vl, heads):
+    """Inclusive segmented compensated sum-scan of an f32 pair over (T,1)."""
+    t = vh.shape[0]
+    h = heads.astype(jnp.int32)
+    d = 1
+    while d < t:
+        pvh = _shift_down(vh, d, jnp.float32(0))
+        pvl = _shift_down(vl, d, jnp.float32(0))
+        ph = _shift_down(h, d, jnp.int32(1))
+        blocked = h > 0
+        nvh, nvl = _dd_add(vh, vl,
+                           jnp.where(blocked, 0.0, pvh),
+                           jnp.where(blocked, 0.0, pvl))
+        vh = jnp.where(blocked, vh, nvh)
+        vl = jnp.where(blocked, vl, nvl)
+        h = h | ph
+        d *= 2
+    return vh, vl
+
+
+def _cumsum_i32(x):
+    """Inclusive cumsum of an int32 (T, 1) vector via log-step shifts."""
+    t = x.shape[0]
+    d = 1
+    while d < t:
+        x = x + _shift_down(x, d, jnp.int32(0))
+        d *= 2
+    return x
+
+
+# flag bits carried per merged element / per open segment
+_F_ARENA = 1   # segment contains an arena row
+_F_OCC = 2     # segment's arena row has nonzero (pre-merge) value
+_F_INISP = 4   # segment contains an initiator-flagged spawn
+_F_SP = 8      # segment contains any valid spawn
+
+
+def _seg_alive(f):
+    """Does a segment with flag bits ``f`` produce an output row?"""
+    return ((f & _F_ARENA) > 0) | ((f & _F_INISP) > 0) | (
+        ((f & _F_OCC) > 0) & ((f & _F_SP) > 0))
+
+
+def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
+            awin, bwin, stg, st, ckey, cval, sems):
+    """One grid step: consume <= TILE merged elements, emit finished rows.
+
+    scal: SMEM int32[8]: [n_a, n_s, sent_h, sent_l, capacity, 0, 0, 0]
+    a_ref: HBM int32 (C + TILE, 8): kh, kl, vh_bits, vl_bits  (sorted, unique)
+    b_ref: HBM int32 (S + TILE, 8): kh, kl, vh_bits, vl_bits, ini  (sorted)
+    o_ref: HBM int32 (C + STG + 8, 8) output rows
+    stats_ref: SMEM int32[8] out: [n_out, overflow, nonini_occ_add, 0...]
+    st (SMEM int32[16] scratch): 0 ai, 1 si, 2 oi, 3 carry_valid,
+       4 carry_flags (_F_*), 5 nonini_acc
+    ckey: SMEM int32[2] carry key; cval: SMEM f32[2] carry value pair
+    """
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    n_a = scal[0]
+    n_s = scal[1]
+    sent_h = scal[2]
+    sent_l = scal[3]
+    cap = scal[4]
+
+    @pl.when(t == 0)
+    def _init():
+        for i in range(6):
+            st[i] = 0
+        ckey[0] = _I32_MAX
+        ckey[1] = _I32_MAX
+        cval[0] = 0.0
+        cval[1] = 0.0
+
+    ai = st[0]
+    si = st[1]
+    done = (ai >= n_a) & (si >= n_s)
+    is_final = t == n_t - 1
+
+    @pl.when((~done) & (~is_final))
+    def _tile():
+        # ---- fetch both windows (one DMA each) ----
+        cp_a = pltpu.make_async_copy(a_ref.at[pl.ds(ai, TILE)], awin,
+                                     sems.at[0])
+        cp_b = pltpu.make_async_copy(b_ref.at[pl.ds(si, TILE)], bwin,
+                                     sems.at[1])
+        cp_a.start()
+        cp_b.start()
+        cp_a.wait()
+        cp_b.wait()
+
+        a_kh = awin[:, 0:1]           # (T, 1) sublane vectors
+        a_kl = awin[:, 1:2]
+        b_kh = bwin[:, 0:1]
+        b_kl = bwin[:, 1:2]
+        a_kh_l = a_kh.reshape(1, TILE)   # lane orientation
+        a_kl_l = a_kl.reshape(1, TILE)
+        b_kh_l = b_kh.reshape(1, TILE)
+        b_kl_l = b_kl.reshape(1, TILE)
+
+        # ---- merge ranks from two cross-compare matrices ----
+        # M1[j, i] = B[j] < A[i]  (B sublane, A lane): A wins ties.
+        m1 = (b_kh < a_kh_l) | ((b_kh == a_kh_l) & (b_kl < a_kl_l))
+        pos_a = (lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+                 + jnp.sum(m1.astype(jnp.int32), axis=0, keepdims=True,
+                           dtype=jnp.int32))
+        # M2[i, j] = A[i] <= B[j]  (A sublane, B lane)
+        m2 = (a_kh < b_kh_l) | ((a_kh == b_kh_l) & (a_kl <= b_kl_l))
+        pos_b = (lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+                 + jnp.sum(m2.astype(jnp.int32), axis=0, keepdims=True,
+                           dtype=jnp.int32))
+
+        a_sent = (a_kh_l == sent_h) & (a_kl_l == sent_l)
+        b_sent = (b_kh_l == sent_h) & (b_kl_l == sent_l)
+        take_a = (pos_a < TILE) & (~a_sent)      # (1, T)
+        take_b = (pos_b < TILE) & (~b_sent)
+        n_cons_a = jnp.sum(take_a.astype(jnp.int32), dtype=jnp.int32)
+        n_cons_b = jnp.sum(take_b.astype(jnp.int32), dtype=jnp.int32)
+
+        # ---- place consumed rows into merged order (one-hot select-sum) ----
+        p_out = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        mask_a = (pos_a == p_out) & take_a       # (T_out, T_in)
+        mask_b = (pos_b == p_out) & take_b
+
+        def place(mask, col_lane, zero):
+            return jnp.sum(jnp.where(mask, col_lane, zero), axis=1,
+                           keepdims=True, dtype=col_lane.dtype)
+
+        iz = jnp.int32(0)
+        from_a = place(mask_a, jnp.ones((1, TILE), jnp.int32), iz) > 0
+        from_b = place(mask_b, jnp.ones((1, TILE), jnp.int32), iz) > 0
+        filled = from_a | from_b
+        mk_h = place(mask_a, a_kh_l, iz) + place(mask_b, b_kh_l, iz)
+        mk_l = place(mask_a, a_kl_l, iz) + place(mask_b, b_kl_l, iz)
+        mk_h = jnp.where(filled, mk_h, sent_h)
+        mk_l = jnp.where(filled, mk_l, sent_l)
+        a_vh_l = awin[:, 2:3].reshape(1, TILE)
+        a_vl_l = awin[:, 3:4].reshape(1, TILE)
+        b_vh_l = bwin[:, 2:3].reshape(1, TILE)
+        b_vl_l = bwin[:, 3:4].reshape(1, TILE)
+        mv_h = lax.bitcast_convert_type(
+            place(mask_a, a_vh_l, iz) + place(mask_b, b_vh_l, iz),
+            jnp.float32)
+        mv_l = lax.bitcast_convert_type(
+            place(mask_a, a_vl_l, iz) + place(mask_b, b_vl_l, iz),
+            jnp.float32)
+        m_ini = place(mask_b, bwin[:, 4:5].reshape(1, TILE), iz) > 0
+
+        # ---- segment machinery over the merged tile ----
+        # ckey holds the sentinel when no segment is open, so the p=0
+        # comparison naturally yields a boundary there.
+        pk_h = _shift_down(mk_h, 1, ckey[0])
+        pk_l = _shift_down(mk_l, 1, ckey[1])
+        cv_ok = st[3] > 0
+        # boundary on any key change (sentinel keys differ from real keys, so
+        # the last real segment of a partially-filled tile still closes)
+        first = (mk_h != pk_h) | (mk_l != pk_l)
+
+        is_arena = from_a
+        is_spawn = from_b
+        arena_nz = is_arena & ((mv_h != 0.0) | (mv_l != 0.0))
+        flags_src = (is_arena.astype(jnp.int32) * _F_ARENA
+                     | arena_nz.astype(jnp.int32) * _F_OCC
+                     | (is_spawn & m_ini).astype(jnp.int32) * _F_INISP
+                     | is_spawn.astype(jnp.int32) * _F_SP)
+        fscan = _seg_or_scan(flags_src, first)
+        # inject the open-segment carry into positions before any boundary
+        cont = (_prefix_or(first.astype(jnp.int32)) == 0) & filled
+        inject = cont & cv_ok
+        fscan = jnp.where(inject, fscan | st[4], fscan)
+
+        occ = (fscan & _F_OCC) > 0
+        allowed_sp = is_spawn & (m_ini | occ)
+        contributes = allowed_sp | is_arena
+        nonini_new = jnp.sum((is_spawn & (~m_ini) & occ).astype(jnp.int32),
+                             dtype=jnp.int32)
+
+        add_h = jnp.where(contributes, mv_h, 0.0)
+        add_l = jnp.where(contributes, mv_l, 0.0)
+        sv_h, sv_l = _seg_sum_scan(add_h, add_l, first)
+        cc_h, cc_l = _dd_add(sv_h, sv_l, cval[0], cval[1])
+        sv_h = jnp.where(inject, cc_h, sv_h)
+        sv_l = jnp.where(inject, cc_l, sv_l)
+
+        # ---- emit completed segments ----
+        # is_last[p] = next position starts a new segment; the very last
+        # merged slot stays open and is carried instead.
+        nxt = jnp.roll(first, -1, axis=0)
+        idx = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        is_last = jnp.where(idx == TILE - 1, False, nxt) & filled
+        emit = is_last & _seg_alive(fscan)
+        # carry flush: previous open segment ended exactly at the tile edge
+        flush = cv_ok & first[0, 0] & _seg_alive(st[4])
+        base = flush.astype(jnp.int32)
+        rank = _cumsum_i32(emit.astype(jnp.int32)) - 1 + base
+        n_emit = rank[TILE - 1, 0] + 1
+
+        # place emitted rows into staging (slot 0 = optional carry flush)
+        s_out = lax.broadcasted_iota(jnp.int32, (STG, 1), 0)
+        rank_l = rank.reshape(1, TILE)
+        emit_l = emit.reshape(1, TILE)
+        mask_e = (rank_l == s_out) & emit_l       # (STG, T)
+
+        def eplace(col, zero):
+            return jnp.sum(jnp.where(mask_e, col.reshape(1, TILE), zero),
+                           axis=1, keepdims=True, dtype=col.dtype)
+
+        e_kh = eplace(mk_h, iz)
+        e_kl = eplace(mk_l, iz)
+        e_vh = eplace(_f2i_k(sv_h), iz)
+        e_vl = eplace(_f2i_k(sv_l), iz)
+        in_carry = s_out == 0
+        use_c = in_carry & flush
+        efill = (eplace(jnp.ones((TILE, 1), jnp.int32), iz) > 0) | use_c
+        e_kh = jnp.where(use_c, ckey[0], e_kh)
+        e_kl = jnp.where(use_c, ckey[1], e_kl)
+        e_vh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[0])), e_vh)
+        e_vl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[1])), e_vl)
+        e_kh = jnp.where(efill, e_kh, sent_h)
+        e_kl = jnp.where(efill, e_kl, sent_l)
+        stg[:, 0:1] = e_kh
+        stg[:, 1:2] = e_kl
+        stg[:, 2:3] = e_vh
+        stg[:, 3:4] = e_vl
+
+        oi = st[2]
+        ok = oi <= cap
+        @pl.when(ok)
+        def _write():
+            cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
+                                         sems.at[2])
+            cp_o.start()
+            cp_o.wait()
+
+        # ---- update SMEM state ----
+        st[0] = ai + n_cons_a
+        st[1] = si + n_cons_b
+        st[2] = oi + n_emit
+        # new carry = open (last) segment's inclusive state at TILE-1
+        last_open = ~((mk_h[TILE - 1, 0] == sent_h)
+                      & (mk_l[TILE - 1, 0] == sent_l))
+        st[3] = last_open.astype(jnp.int32)
+        st[4] = jnp.where(last_open, fscan[TILE - 1, 0], 0)
+        st[5] = st[5] + nonini_new
+        ckey[0] = jnp.where(last_open, mk_h[TILE - 1, 0], _I32_MAX)
+        ckey[1] = jnp.where(last_open, mk_l[TILE - 1, 0], _I32_MAX)
+        cval[0] = jnp.where(last_open, sv_h[TILE - 1, 0], 0.0)
+        cval[1] = jnp.where(last_open, sv_l[TILE - 1, 0], 0.0)
+
+    @pl.when(is_final)
+    def _flush():
+        oi = st[2]
+        flush = (st[3] > 0) & _seg_alive(st[4])
+
+        @pl.when(flush)
+        def _do_flush():
+            kh0 = ckey[0]
+            kl0 = ckey[1]
+            vh0 = cval[0]
+            vl0 = cval[1]
+            s_out = lax.broadcasted_iota(jnp.int32, (STG, 1), 0)
+            row0 = s_out == 0
+            stg[:, 0:1] = jnp.where(row0, kh0, _I32_MAX)
+            stg[:, 1:2] = jnp.where(row0, kl0, _I32_MAX)
+            stg[:, 2:3] = jnp.where(row0, _f2i_k(jnp.full((STG, 1), vh0)),
+                                    jnp.int32(0))
+            stg[:, 3:4] = jnp.where(row0, _f2i_k(jnp.full((STG, 1), vl0)),
+                                    jnp.int32(0))
+
+            @pl.when(oi <= cap)
+            def _w():
+                cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
+                                             sems.at[2])
+                cp_o.start()
+                cp_o.wait()
+            st[2] = oi + 1
+
+        stats_ref[0] = st[2]
+        stats_ref[1] = (st[2] > cap).astype(jnp.int32)
+        stats_ref[2] = st[5]
+        for i in range(3, 8):
+            stats_ref[i] = 0
+
+
+def _f2i_k(x):
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@partial(jax.jit, static_argnames=("capacity", "n_words", "interpret"))
+def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
+    c_pad = a_t.shape[0]
+    s_pad = b_t.shape[0]
+    sent_h, sent_l = split_key(dets.invalid_det(n_words)[None, :])
+    scal = jnp.stack([
+        n_a.astype(jnp.int32), n_s.astype(jnp.int32),
+        sent_h[0], sent_l[0], jnp.int32(capacity),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+    g = _cdiv((c_pad - TILE) + (s_pad - TILE), TILE) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 8), jnp.int32),   # arena window
+            pltpu.VMEM((TILE, 8), jnp.int32),   # spawn window
+            pltpu.VMEM((STG, 8), jnp.int32),    # staging
+            pltpu.SMEM((16,), jnp.int32),       # state
+            pltpu.SMEM((2,), jnp.int32),        # carry key
+            pltpu.SMEM((2,), jnp.float32),      # carry value pair
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out_rows = capacity + STG + 8
+    o_t, stats = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, 8), jnp.int32),
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, a_t, b_t)
+    return o_t, stats
+
+
+def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
+                      *, interpret: bool = False):
+    """Drop-in for ``arena.accumulate`` (single row, origin==dest==0).
+
+    Returns (new_arena, stats) with the same semantics; see module docstring
+    for the 32-bit re-encoding.  Requires ``dets.packable(arena.n_words)``.
+    """
+    from fries_tpu.runtime import arena as arena_mod
+
+    c, w = arena.keys.shape
+    assert arena.n_vecs == 1, "pallas accumulate: single value row only"
+    assert dets.packable(w), "pallas accumulate needs packable det keys"
+    s = spawn_keys.shape[0]
+
+    # ---- encode arena stream (sorted, unique, sentinel padded) ----
+    a_kh, a_kl = split_key(arena.keys)
+    a_vh, a_vl = split_val(arena.vals[0].astype(jnp.float64))
+    pad = jnp.zeros((TILE,), jnp.int32)
+    sh, sl = split_key(dets.invalid_det(w)[None, :])
+    a_t = jnp.stack([
+        jnp.concatenate([a_kh, jnp.full((TILE,), sh[0], jnp.int32)]),
+        jnp.concatenate([a_kl, jnp.full((TILE,), sl[0], jnp.int32)]),
+        jnp.concatenate([_f2i(a_vh), pad]),
+        jnp.concatenate([_f2i(a_vl), pad]),
+        jnp.zeros((c + TILE,), jnp.int32),
+        jnp.zeros((c + TILE,), jnp.int32),
+        jnp.zeros((c + TILE,), jnp.int32),
+        jnp.zeros((c + TILE,), jnp.int32),
+    ], axis=1)
+
+    # ---- sort + encode spawn stream ----
+    skey = dets.pack_key(spawn_keys)
+    skey_s, sval_s, sini_s = lax.sort(
+        [skey, spawn_vals.astype(jnp.float64),
+         spawn_ini.astype(jnp.int32)], num_keys=1, is_stable=True)
+    s_kh = (skey_s >> jnp.int64(32)).astype(jnp.int32)
+    s_kl = lax.bitcast_convert_type(
+        (skey_s & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+        ^ jnp.uint32(0x80000000), jnp.int32)
+    s_vh, s_vl = split_val(sval_s)
+    # blocked-invalid spawns must not contribute: zero their values
+    s_valid = ~((s_kh == sh[0]) & (s_kl == sl[0]))
+    s_vh = jnp.where(s_valid, s_vh, 0.0)
+    s_vl = jnp.where(s_valid, s_vl, 0.0)
+    sini_s = jnp.where(s_valid, sini_s, 0)
+    b_t = jnp.stack([
+        jnp.concatenate([s_kh, jnp.full((TILE,), sh[0], jnp.int32)]),
+        jnp.concatenate([s_kl, jnp.full((TILE,), sl[0], jnp.int32)]),
+        jnp.concatenate([_f2i(s_vh), pad]),
+        jnp.concatenate([_f2i(s_vl), pad]),
+        jnp.concatenate([sini_s, pad]),
+        jnp.zeros((s + TILE,), jnp.int32),
+        jnp.zeros((s + TILE,), jnp.int32),
+        jnp.zeros((s + TILE,), jnp.int32),
+    ], axis=1)
+
+    n_a = jnp.sum(arena.valid, dtype=jnp.int32)
+    n_s = jnp.sum(s_valid, dtype=jnp.int32)
+
+    o_t, kstats = _merge_call(a_t, b_t, n_a, n_s, c, w, interpret)
+
+    n_out = kstats[0]
+    overflow = kstats[1] > 0
+    live = jnp.arange(c, dtype=jnp.int32) < jnp.minimum(n_out, c)
+    kh = jnp.where(live, o_t[:c, 0], sh[0])
+    kl = jnp.where(live, o_t[:c, 1], sl[0])
+    keys = unsplit_key(kh, kl, w)
+    vals = (_i2f_host(o_t[:c, 2]).astype(jnp.float64)
+            + _i2f_host(o_t[:c, 3]).astype(jnp.float64))
+    vals = jnp.where(live, vals, 0.0)[None, :].astype(arena.vals.dtype)
+    new_arena = arena_mod.Arena(
+        keys=keys, vals=vals, n_used=jnp.minimum(n_out, c)[None])
+    return new_arena, {"overflow": overflow,
+                       "nonini_occ_add": kstats[2]}

@@ -1,0 +1,139 @@
+"""Pallas streaming merge-accumulate vs the XLA arena path.
+
+Runs the kernel in interpreter mode on CPU over randomized spawn streams and
+asserts the resulting arena (keys, values, stats) matches
+``arena.accumulate`` exactly in structure and to f32-pair precision in
+values.  Covers: duplicates, initiator gating, segments spanning tile
+boundaries, carry flush at stream end, empty spawn sets, and overflow.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fries_tpu import dets
+from fries_tpu.runtime import arena as arena_mod
+from fries_tpu.runtime import pallas_merge
+
+
+def _mk_arena(capacity, n_words, keys_np, vals_np):
+    a = arena_mod.make(capacity, n_words, 1)
+    n = keys_np.shape[0]
+    keys = a.keys.at[:n].set(jnp.asarray(keys_np, jnp.uint32))
+    vals = a.vals.at[0, :n].set(jnp.asarray(vals_np))
+    return arena_mod.Arena(keys=keys, vals=vals,
+                           n_used=jnp.asarray([n], jnp.int32))
+
+
+def _arena_dict(a):
+    keys = np.asarray(a.keys)
+    vals = np.asarray(a.vals[0])
+    valid = ~np.asarray(dets.is_invalid(a.keys))
+    out = {}
+    for i in np.nonzero(valid)[0]:
+        out[tuple(int(w) for w in keys[i])] = float(vals[i])
+    return out
+
+
+def _rand_case(rng, n_words, capacity, n_occ, n_spawn, n_universe,
+               ini_frac=0.6, invalid_frac=0.1):
+    # universe of unique dets as random non-sentinel words
+    uni = rng.integers(0, 2**20, size=(n_universe, n_words), dtype=np.uint32)
+    uni[:, -1] &= np.uint32(0x0FFFFFFF)  # never sentinel
+    pk = np.asarray(dets.pack_key(jnp.asarray(uni))).astype(np.int64)
+    _, uniq_idx = np.unique(pk, return_index=True)
+    uni = uni[uniq_idx]
+    occ_idx = rng.choice(uni.shape[0], size=min(n_occ, uni.shape[0]),
+                         replace=False)
+    okeys = uni[np.sort(occ_idx)]
+    # sort arena by packed key order
+    order = np.argsort(
+        np.asarray(dets.pack_key(jnp.asarray(okeys))).astype(np.int64),
+        kind="stable")
+    okeys = okeys[order]
+    ovals = rng.standard_normal(okeys.shape[0])
+    ovals[rng.random(okeys.shape[0]) < 0.2] = 0.0  # some zero-val rows
+    a = _mk_arena(capacity, n_words, okeys, ovals)
+
+    sidx = rng.integers(0, uni.shape[0], n_spawn)
+    skeys = uni[sidx].copy()
+    inval = rng.random(n_spawn) < invalid_frac
+    skeys[inval] = np.iinfo(np.uint32).max
+    svals = rng.standard_normal(n_spawn) * 0.3
+    sini = rng.random(n_spawn) < ini_frac
+    return a, jnp.asarray(skeys), jnp.asarray(svals), jnp.asarray(sini)
+
+
+@pytest.mark.parametrize("n_words", [1, 2])
+@pytest.mark.parametrize("trial", range(3))
+def test_matches_xla_accumulate(n_words, trial):
+    rng = np.random.default_rng(100 * n_words + trial)
+    # merged stream ~1100 elements -> spans 3 kernel tiles, exercising the
+    # cross-tile segment carry and the final flush
+    capacity = 1024
+    a, sk, sv, si = _rand_case(
+        rng, n_words, capacity, n_occ=400, n_spawn=700, n_universe=800)
+    ref, rstats = arena_mod.accumulate(a, sk, sv, si)
+    got, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
+                                                 interpret=True)
+    assert bool(gstats["overflow"]) == bool(rstats["overflow"])
+    assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
+    dref = _arena_dict(ref)
+    dgot = _arena_dict(got)
+    assert set(dgot) == set(dref)
+    for k in dref:
+        assert np.isclose(dgot[k], dref[k], rtol=1e-12, atol=1e-12), k
+    assert int(got.n_used[0]) == int(ref.n_used[0])
+    # output stays sorted (direct compare: np.diff would overflow int64
+    # across the valid/sentinel boundary)
+    pk = np.asarray(dets.pack_key(got.keys)).astype(np.int64)
+    assert np.all(pk[1:] >= pk[:-1])
+
+
+def test_empty_spawns():
+    rng = np.random.default_rng(7)
+    a, sk, sv, si = _rand_case(rng, 2, 128, n_occ=40, n_spawn=32,
+                               n_universe=64, invalid_frac=1.0)
+    ref, _ = arena_mod.accumulate(a, sk, sv, si)
+    got, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
+                                                 interpret=True)
+    assert not bool(gstats["overflow"])
+    assert _arena_dict(got) == pytest.approx(_arena_dict(ref))
+
+
+def test_empty_arena():
+    rng = np.random.default_rng(8)
+    a = arena_mod.make(128, 2, 1)
+    sk = jnp.asarray(
+        rng.integers(0, 2**16, size=(64, 2), dtype=np.uint32))
+    sv = jnp.asarray(rng.standard_normal(64))
+    si = jnp.ones((64,), bool)
+    ref, _ = arena_mod.accumulate(a, sk, sv, si)
+    got, _ = pallas_merge.accumulate_pallas(a, sk, sv, si, interpret=True)
+    dref, dgot = _arena_dict(ref), _arena_dict(got)
+    assert set(dgot) == set(dref)
+    for k in dref:
+        assert np.isclose(dgot[k], dref[k]), k
+
+
+def test_overflow_flagged():
+    rng = np.random.default_rng(9)
+    a, sk, sv, si = _rand_case(rng, 2, 64, n_occ=60, n_spawn=200,
+                               n_universe=400, ini_frac=1.0,
+                               invalid_frac=0.0)
+    _, rstats = arena_mod.accumulate(a, sk, sv, si)
+    _, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
+                                               interpret=True)
+    assert bool(rstats["overflow"])
+    assert bool(gstats["overflow"])
+
+
+def test_key_roundtrip():
+    rng = np.random.default_rng(11)
+    for w in (1, 2):
+        words = jnp.asarray(
+            rng.integers(0, 2**32, size=(50, w), dtype=np.uint32))
+        kh, kl = pallas_merge.split_key(words)
+        back = pallas_merge.unsplit_key(kh, kl, w)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(words))
