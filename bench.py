@@ -59,8 +59,177 @@ def _orchestrate():
     raise SystemExit("all benchmark rungs failed")
 
 
+def _time_steady(run_steps, state, args, n_warm, n_time, fetch):
+    """Steady-state timing: warm up with the same static scan length, then
+    time one block; ``fetch(metrics)`` must force a scalar device->host sync
+    (block_until_ready returns early under the axon tunnel)."""
+    for _ in range(n_warm):
+        state, m = run_steps(state, *args, n_time) if args else run_steps(state, n_time)
+    fetch(m)
+    t0 = time.perf_counter()
+    state, m = run_steps(state, *args, n_time) if args else run_steps(state, n_time)
+    fetch(m)
+    return (time.perf_counter() - t0) / n_time, m
+
+
+def _emit(payload):
+    print(json.dumps(payload))
+
+
+def bench_frifull_hh():
+    """BASELINE.md required config: frifull_hh, 4-site Hubbard-Holstein
+    (exact H*v, systematic vector compression)."""
+    from fries_tpu.ops import hubbard as hub
+    from fries_tpu.drivers import frifull_hh, power
+
+    ham = hub.HubbardHolstein(
+        n_sites=4, n_elec=4, ph_bits=3, u=2.0, omega=1.0, g=0.5
+    )
+    cfg = power.PowerConfig(
+        eps=0.01, target_nonz=30_000, capacity=1 << 17, target_norm=60_000.0
+    )
+    step, run_steps, state, aux = frifull_hh.build(
+        ham, e_ref=0.0, cfg=cfg, seed=0
+    )
+    args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"])
+    sec, m = _time_steady(
+        run_steps, state, args, 3, 10,
+        lambda m: float(np.asarray(m["norm"]).reshape(-1)[-1]),
+    )
+    _emit({
+        "metric": "frifull_hh iterations/sec (4-site Hubbard-Holstein, "
+                  "ph_bits=3, 30k kept)",
+        "value": round(1.0 / sec, 3), "unit": "iters/s", "vs_baseline": 0.0,
+        "ms_per_iter": round(sec * 1e3, 2),
+        "n_dets_final": int(np.asarray(m["n_dets"]).reshape(-1)[-1]),
+    })
+
+
+def bench_frifull_mol():
+    """BASELINE.md required config: frifull_mol, H2O/cc-pVDZ-sized synthetic
+    (exact H application - every connected double per kept det)."""
+    from fries_tpu import synth
+    from fries_tpu.drivers import frifull, power
+
+    ham = synth.h2o_ccpvdz_like(seed=1)
+    cfg = power.PowerConfig(
+        eps=0.005, target_nonz=2_000, capacity=1 << 19,
+        target_norm=4_000.0, batch=256,
+    )
+    step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
+    args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"])
+    sec, m = _time_steady(
+        run_steps, state, args, 2, 3,
+        lambda m: float(np.asarray(m["norm"]).reshape(-1)[-1]),
+    )
+    _emit({
+        "metric": "frifull_mol iterations/sec (H2O-ccpvdz-size synthetic, "
+                  "exact H, 2k kept dets)",
+        "value": round(1.0 / sec, 4), "unit": "iters/s", "vs_baseline": 0.0,
+        "ms_per_iter": round(sec * 1e3, 1),
+        "n_dets_final": int(np.asarray(m["n_dets"]).reshape(-1)[-1]),
+    })
+
+
+def bench_fciqmc():
+    """BASELINE.md required config: fciqmc_mol at production walker counts
+    (N2-stretched-size synthetic, heat-bath distribution, 5M walkers -
+    the scale proof VERDICT round-2 item 9 asks for)."""
+    from fries_tpu import synth
+    from fries_tpu.drivers import fciqmc
+
+    ham = synth.n2_ccpvdz_like(seed=2)
+    cfg = fciqmc.FciqmcConfig(
+        eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
+        attempt_cap=1 << 23, distribution="HB", integer_walkers=True,
+        init_thresh=3.0,
+    )
+    step, run_steps, state, aux = fciqmc.build(ham, cfg, seed=0)
+    args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"])
+    # growth phase to approach the target population
+    for _ in range(30):
+        state, m = run_steps(state, *args, 20)
+    walkers = float(np.asarray(m["norm"]).reshape(-1)[-1])
+    sec, m = _time_steady(
+        run_steps, state, args, 1, 20,
+        lambda m: float(np.asarray(m["norm"]).reshape(-1)[-1]),
+    )
+    walkers = float(np.asarray(m["norm"]).reshape(-1)[-1])
+    overflow = bool(np.asarray(m["overflow"]).any())
+    e_est = (float(np.asarray(m["proj_num"]).reshape(-1)[-1])
+             / float(np.asarray(m["proj_den"]).reshape(-1)[-1]))
+    _emit({
+        "metric": "fciqmc_mol iterations/sec (N2-stretched-size synthetic, "
+                  "HB, 5M-walker target)",
+        "value": round(1.0 / sec, 3), "unit": "iters/s", "vs_baseline": 0.0,
+        "ms_per_iter": round(sec * 1e3, 2),
+        "walkers": round(walkers, 0),
+        "ns_per_walker_iter": round(sec / max(walkers, 1) * 1e9, 3),
+        "overflow": overflow, "e_proj_finite": bool(np.isfinite(e_est)),
+    })
+
+
+def bench_subsp_sharded():
+    """BASELINE.md required config: subsp_mol, Ne-sized multi-state,
+    hash-sharded code path (1-device mesh on the single available chip;
+    the 8-virtual-device equivalence is covered by tests/dryrun)."""
+    import jax
+    import jax.numpy as jnp
+    from fries_tpu import dets, parallel, synth
+    from fries_tpu.drivers import subspace
+    from fries_tpu.ops import molecule as mol
+
+    ham = synth.ne_augccpvdz_like(seed=1)
+    hf_words, hf_occ, _ = mol.hf_reference(ham)
+    d1, _ = dets.single_parity(
+        hf_words[None], jnp.asarray([4]), jnp.asarray([10])
+    )
+    t = 2
+    tk = np.tile(np.asarray(dets.invalid_det(ham.n_words)), (t, 1, 1))
+    tv = np.zeros((t, 1))
+    tk[0, 0] = np.asarray(hf_words)
+    tv[0, 0] = 1.0
+    tk[1, 0] = np.asarray(d1)[0]
+    tv[1, 0] = 1.0
+    n_dev = 1
+    mesh = parallel.make_mesh(n_dev)
+    cfg = subspace.SubspaceConfig(
+        eps=0.02, n_trial=t, vec_nonz=100_000, matr_samp=200_000,
+        capacity=1 << 19, spawn_cap=300_000, restart_int=10,
+        axis_name=parallel.AXIS, n_shards=n_dev, exchange_cap=600_000,
+    )
+    step, run_steps, state, aux = subspace.build_sharded(
+        ham, cfg, jnp.asarray(tk), jnp.asarray(tv), seed=0, mesh=mesh
+    )
+    sec, m = _time_steady(
+        run_steps, state, None, 3, 5,
+        lambda m: float(np.asarray(m["norms"]).reshape(-1)[-1]),
+    )
+    _emit({
+        "metric": "subsp_mol iterations/sec (Ne-size synthetic, 2 states, "
+                  "hash-sharded path, 100k kept/vector)",
+        "value": round(1.0 / sec, 3), "unit": "iters/s", "vs_baseline": 0.0,
+        "ms_per_iter": round(sec * 1e3, 1),
+        "sampled_nonzeros_per_sec": round(t * cfg.matr_samp / sec, 1),
+    })
+
+
+CONFIGS = {
+    "frifull_hh": bench_frifull_hh,
+    "frifull_mol": bench_frifull_mol,
+    "fciqmc": bench_fciqmc,
+    "subsp": bench_subsp_sharded,
+}
+
+
 def main():
     small = bool(os.environ.get("FRIES_BENCH_SMALL"))
+    which = os.environ.get("FRIES_BENCH_CONFIG")
+    if which and which != "frisys":
+        return CONFIGS[which]()
     if os.environ.get("FRIES_BENCH_RUNG") is None and not small:
         return _orchestrate()
 

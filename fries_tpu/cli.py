@@ -138,13 +138,35 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
 
 
 def _load_molecular(args):
+    """Returns (ham, core_energy).  core_energy feeds the --ham_shift
+    conversion hf_en = ham_shift - core_en (frisys_mol.cpp:94-99)."""
     from fries_tpu import io
 
     if getattr(args, "fcidump_path", None):
         ham, core = io.parse_fcidump(args.fcidump_path, args.point_group)
-        return ham
+        return ham, core
     ham, params = io.parse_hf_input(args.hf_path)
-    return ham
+    return ham, 0.0  # HF-dir input carries no core-energy record
+
+
+def _e_ref_from_args(args, core):
+    """--ham_shift to the internal diagonal offset (None when absent)."""
+    if getattr(args, "ham_shift", None) is None:
+        return None
+    return float(args.ham_shift) - float(core)
+
+
+def _load_trial_init(args, ham):
+    """--trial_vec / --ini_vec prefixes -> (trial, init_vec) tuples (or
+    None): text files <prefix>dets / <prefix>vals (frisys_mol.cpp:27-29)."""
+    from fries_tpu import io
+
+    trial = init_vec = None
+    if getattr(args, "trial_vec", None):
+        trial = io.load_vec_txt(args.trial_vec, ham.n_bits)
+    if getattr(args, "ini_vec", None):
+        init_vec = io.load_vec_txt(args.ini_vec, ham.n_bits)
+    return trial, init_vec
 
 
 def _add_common(p, molecular=True):
@@ -181,6 +203,13 @@ def main(argv=None):
     p.add_argument("--mat_nonz", type=int, required=True)
     p.add_argument("--distribution", default="HB", choices=["HB", "HB_unnorm"])
     p.add_argument("--det_space", help="text file of deterministic-subspace dets")
+    p.add_argument("--trial_vec", help="prefix of <prefix>dets/<prefix>vals "
+                   "text files for the energy-estimator trial vector")
+    p.add_argument("--ini_vec", help="prefix of <prefix>dets/<prefix>vals "
+                   "text files for the initial iterate")
+    p.add_argument("--ham_shift", type=float,
+                   help="energy by which the diagonal of H is shifted "
+                   "(default: the HF diagonal element)")
 
     p = sub.add_parser("frimulti_mol", help="multinomial-compression FRI")
     _add_common(p)
@@ -188,6 +217,12 @@ def main(argv=None):
     p.add_argument("--vec_nonz", type=int, required=True)
     p.add_argument("--mat_nonz", type=int, required=True)
     p.add_argument("--distribution", default="NU", choices=["NU", "HB"])
+    p.add_argument("--trial_vec", help="prefix of <prefix>dets/<prefix>vals "
+                   "text files for the energy-estimator trial vector")
+    p.add_argument("--ini_vec", help="prefix of <prefix>dets/<prefix>vals "
+                   "text files for the initial iterate")
+    p.add_argument("--ham_shift", type=float,
+                   help="energy by which the diagonal of H is shifted")
 
     p = sub.add_parser("fciqmc_mol", help="integer-walker initiator FCIQMC")
     _add_common(p)
@@ -227,11 +262,20 @@ def main(argv=None):
         p.add_argument("--vec_nonz", type=int, required=True)
         p.add_argument("--mat_nonz", type=int, required=True)
         p.add_argument("--trial_vecs", required=True,
-                       help="prefix of <prefix><i>dets/<prefix><i>vals trial files")
-        p.add_argument("--n_trial", type=int, required=True)
+                       help="prefix of <prefix><xx>dets/<prefix><xx>vals "
+                       "2-digit trial files, or a .dice Dice/SHCI output file "
+                       "(subsp_mol.cpp:26, 197-235)")
+        p.add_argument("--num_trial", "--n_trial", type=int, required=True,
+                       dest="n_trial")
         p.add_argument("--restart_int", type=int, default=10)
         p.add_argument("--time_reversal", type=int, default=0,
                        choices=[-1, 0, 1])
+        p.add_argument("--out_format", default="txt",
+                       choices=["none", "txt", "npy", "bin"],
+                       help="h_mat/d_mat output format (subsp_mol.cpp:29; "
+                       "npy appends along the leading axis like cnpy)")
+        p.add_argument("--ham_shift", type=float,
+                       help="energy by which the diagonal of H is shifted")
 
     p = sub.add_parser("observables_mol", help="Rayleigh observable estimator")
     _add_common(p)
@@ -267,7 +311,7 @@ def main(argv=None):
     if cmd in ("frifull_hh", "frisys_hh"):
         return _run_hh(args, cmd)
 
-    ham = _load_molecular(args)
+    ham, core_en = _load_molecular(args)
 
     if cmd == "frifull_mol":
         from fries_tpu.drivers import frifull, power
@@ -286,12 +330,11 @@ def main(argv=None):
         determ_keys = None
         if args.det_space:
             determ_keys = io.read_dets(args.det_space, ham.n_bits)
+        trial, init_vec = _load_trial_init(args, ham)
+        e_ref = _e_ref_from_args(args, core_en)
         if args.n_chips > 1:
             from fries_tpu import parallel
 
-            assert determ_keys is None, (
-                "--det_space with --n_chips > 1 not yet supported"
-            )
             mesh = parallel.make_mesh(args.n_chips)
             cfg = frisys.FrisysConfig(
                 eps=args.epsilon, vec_nonz=args.vec_nonz,
@@ -302,9 +345,13 @@ def main(argv=None):
                 axis_name=parallel.AXIS, n_shards=args.n_chips,
             )
             step, run_steps, state, aux = frisys.build_sharded(
-                ham, cfg, seed=args.seed, mesh=mesh
+                ham, cfg, seed=args.seed, mesh=mesh, trial=trial,
+                init_vec=init_vec, e_ref=e_ref, determ_keys=determ_keys,
             )
-            return _run_power_driver(args, step, run_steps, state, aux)
+            return _run_power_driver(
+                args, step, run_steps, state, aux,
+                protected=aux["protected_keys"],
+            )
         cfg = frisys.FrisysConfig(
             eps=args.epsilon, vec_nonz=args.vec_nonz, matr_samp=args.mat_nonz,
             capacity=args.max_dets, spawn_cap=int(args.mat_nonz * 1.4),
@@ -312,7 +359,8 @@ def main(argv=None):
             unnorm=args.distribution == "HB_unnorm",
         )
         step, run_steps, state, aux = frisys.build(
-            ham, cfg, seed=args.seed, determ_keys=determ_keys
+            ham, cfg, seed=args.seed, determ_keys=determ_keys, trial=trial,
+            init_vec=init_vec, e_ref=e_ref,
         )
         return _run_power_driver(
             args, step, run_steps, state, aux, protected=aux["protected_keys"]
@@ -327,7 +375,11 @@ def main(argv=None):
             init_thresh=args.init_thresh, target_norm=args.target_norm,
             distribution=args.distribution,
         )
-        step, run_steps, state, aux = frimulti.build(ham, cfg, seed=args.seed)
+        trial, init_vec = _load_trial_init(args, ham)
+        step, run_steps, state, aux = frimulti.build(
+            ham, cfg, seed=args.seed, trial=trial, init_vec=init_vec,
+            e_ref=_e_ref_from_args(args, core_en),
+        )
         return _run_power_driver(args, step, run_steps, state, aux)
 
     if cmd in ("fciqmc_mol", "fciqmc_fp_mol"):
@@ -345,7 +397,7 @@ def main(argv=None):
 
     if cmd in ("subsp_mol", "subsp_mol_lowmem", "subspfull_mol"):
         return _run_subspace(
-            args, ham, exact_h=cmd == "subspfull_mol",
+            args, ham, core_en, exact_h=cmd == "subspfull_mol",
             lowmem=cmd == "subsp_mol_lowmem",
         )
 
@@ -393,7 +445,7 @@ def _run_hh(args, cmd):
     return _run_power_driver(args, step, run_steps, state, aux)
 
 
-def _run_subspace(args, ham, exact_h=False, lowmem=False):
+def _run_subspace(args, ham, core_en=0.0, exact_h=False, lowmem=False):
     import jax
     from fries_tpu import io
     from fries_tpu.drivers import subspace
@@ -402,7 +454,22 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
     t = args.n_trial
     keys_list, vals_list = [], []
     for j in range(t):
-        k, v = io.load_vec_txt(f"{args.trial_vecs}{j}_", ham.n_bits)
+        if args.trial_vecs.endswith(".dice"):
+            # Dice/SHCI output: one file, one block per state
+            # (subsp_mol.cpp:199-201, load_vec_dice io_utils.cpp:485-562)
+            k, v = io.load_vec_dice(
+                args.trial_vecs, ham.n_orb, ham.n_bits, state=j
+            )
+        else:
+            # reference 2-digit naming <prefix>XXdets / <prefix>XXvals
+            # (subsp_mol.cpp:202-204); fall back to the legacy <prefix>J_
+            # naming for vectors written by older fries_tpu versions
+            prefix = f"{args.trial_vecs}{j:02d}"
+            if not os.path.exists(prefix + "dets"):
+                legacy = f"{args.trial_vecs}{j}_"
+                if os.path.exists(legacy + "dets"):
+                    prefix = legacy
+            k, v = io.load_vec_txt(prefix, ham.n_bits)
         keys_list.append(k)
         vals_list.append(v)
     nmax = max(len(v) for v in vals_list)
@@ -422,7 +489,8 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
         spin_parity=getattr(args, "time_reversal", 0),
     )
     step, run_steps, state, aux = subspace.build(
-        ham, cfg, jnp.asarray(tk), jnp.asarray(tv), seed=args.seed
+        ham, cfg, jnp.asarray(tk), jnp.asarray(tv), seed=args.seed,
+        e_ref=_e_ref_from_args(args, core_en),
     )
     import dataclasses
     from fries_tpu.runtime import checkpoint
@@ -439,8 +507,21 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
         state = dataclasses.replace(state, **fields)
         print(f"resumed from {ckpt} at iteration {int(scal['iterat'])}")
     _write_params(args.result_dir, args)
-    hfile = _out(args.result_dir, "h_mat.txt")
-    dfile = _out(args.result_dir, "d_mat.txt")
+    fmt = getattr(args, "out_format", "txt")
+    hfile = dfile = None
+    if fmt == "txt":
+        hfile = _out(args.result_dir, "h_mat.txt")
+        dfile = _out(args.result_dir, "d_mat.txt")
+    elif fmt == "bin":
+        # raw little-endian f64 records (subsp_mol.cpp:319-332, 471-477)
+        hfile = open(os.path.join(args.result_dir, "h_mat.dat"), "ab")
+        dfile = open(os.path.join(args.result_dir, "d_mat.dat"), "ab")
+    hnpy = os.path.join(args.result_dir, "h_mat.npy")
+    dnpy = os.path.join(args.result_dir, "d_mat.npy")
+    # per-iteration metric streams (subsp_mol.cpp:366-380, 416-431, 610-631)
+    shift_f = _out(args.result_dir, "shifts.txt")
+    norm_f = _out(args.result_dir, "norms.txt")
+    nini_f = _out(args.result_dir, "n_ini.txt")
     done = 0
     block = min(args.save_interval, 100)
     while done < args.max_iter:
@@ -453,19 +534,38 @@ def _run_subspace(args, ham, exact_h=False, lowmem=False):
                 "ERROR: spawn/arena buffer overflow in subspace block ending "
                 f"at iteration {done + n}; increase --max_dets / mat_nonz"
             )
+        norms_tr = np.asarray(traj["norms"])
+        nf_tr = np.asarray(traj["norm_factors"])
+        nini_tr = np.asarray(traj.get("n_ini", np.zeros_like(norms_tr)))
         for i in range(h.shape[0]):
-            hfile.write(",".join(repr(_plain(x)) for x in h[i].ravel()) + "\n")
-            dfile.write(",".join(repr(_plain(x)) for x in dm[i].ravel()) + "\n")
-        hfile.flush()
-        dfile.flush()
+            if fmt == "txt":
+                hfile.write(",".join(repr(_plain(x)) for x in h[i].ravel()) + "\n")
+                dfile.write(",".join(repr(_plain(x)) for x in dm[i].ravel()) + "\n")
+            elif fmt == "bin":
+                hfile.write(np.ascontiguousarray(h[i], np.float64).tobytes())
+                dfile.write(np.ascontiguousarray(dm[i], np.float64).tobytes())
+            elif fmt == "npy":
+                io.npy_append(hnpy, np.ascontiguousarray(h[i], np.float64))
+                io.npy_append(dnpy, np.ascontiguousarray(dm[i], np.float64))
+            it = done + i + 1
+            if it % cfg.shift_interval == 0:
+                shift_f.write(
+                    ",".join(repr(_plain(x)) for x in nf_tr[i]) + "\n")
+            norm_f.write(",".join(repr(_plain(x)) for x in norms_tr[i]) + "\n")
+            nini_f.write(",".join(str(int(_plain(x))) for x in
+                                  np.atleast_1d(nini_tr[i])) + "\n")
+        for f in (hfile, dfile, shift_f, norm_f, nini_f):
+            if f is not None:
+                f.flush()
         done += n
         print(f"subspace iteration {done}")
         if done % args.save_interval == 0 or done >= args.max_iter:
             checkpoint.save_state(
                 os.path.join(args.result_dir, "checkpoint.npz"), state
             )
-    hfile.close()
-    dfile.close()
+    for f in (hfile, dfile, shift_f, norm_f, nini_f):
+        if f is not None:
+            f.close()
 
 
 def _run_observables(args, ham, replica):

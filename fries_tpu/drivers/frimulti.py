@@ -134,12 +134,16 @@ def make_spawner(ham: mol.MolecularHamiltonian, syminfo: mol.SymmInfo,
 
 
 def build(ham: mol.MolecularHamiltonian, cfg: FrimultiConfig, seed: int,
-          init_val: float = 100.0):
+          init_val: float = 100.0, trial=None, init_vec=None, e_ref=None):
+    """trial / init_vec / e_ref mirror frisys.build (reference
+    frimulti_mol.cpp:27-33 --trial_vec / --ini_vec / --ham_shift)."""
     syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
     from fries_tpu.drivers import frisys as _frisys
 
     p_doub = _frisys.hf_p_doub(ham, syminfo)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    if e_ref is not None:
+        hf_en = float(e_ref)
 
     spawn = make_spawner(ham, syminfo, p_doub, cfg, hf_en)
     diag_fn = frisys.make_diag_fn(ham, hf_en)
@@ -147,25 +151,28 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrimultiConfig, seed: int,
         spawn, diag_fn, cfg.power(), estimator="direct"
     )
 
-    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
-    tw, ta, _ = mol.exact_offdiag_batch(
-        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
-    )
-    tw = np.asarray(tw[0])
-    ta = np.asarray(ta[0])
-    keep = ta != 0
-    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
-    htrial_vals = np.concatenate([[0.0], ta[keep]])
+    if trial is None:
+        trial_keys = np.asarray(hf_words)[None]
+        trial_vals = np.ones((1,))
+    else:
+        trial_keys, trial_vals = np.asarray(trial[0]), np.asarray(trial[1])
+    htrial_keys, htrial_vals = _frisys.compute_htrial(ham, trial_keys, trial_vals,
+                                                      e_ref=hf_en)
 
     a = ar.make(cfg.capacity, ham.n_words, 2)
-    a = ar.from_unsorted(a, hf_words[None], jnp.asarray([[init_val], [0.0]]))
+    if init_vec is not None:
+        ik = jnp.asarray(np.asarray(init_vec[0]))
+        iv = jnp.asarray(np.asarray(init_vec[1]))
+        a = ar.from_unsorted(a, ik, jnp.stack([iv, jnp.zeros(iv.shape[0])]))
+    else:
+        a = ar.from_unsorted(a, hf_words[None], jnp.asarray([[init_val], [0.0]]))
     state = power.fresh_state(a, seed)
     aux = {
         "e_ref": hf_en,
         "num_keys": jnp.asarray(htrial_keys),
         "num_vals": jnp.asarray(htrial_vals),
-        "den_keys": hf_words[None],
-        "den_vals": jnp.ones((1,)),
+        "den_keys": jnp.asarray(trial_keys),
+        "den_vals": jnp.asarray(trial_vals),
         "ref_key": hf_words,
         "p_doub": p_doub,
     }

@@ -524,9 +524,11 @@ def build_determ_block(ham: mol.MolecularHamiltonian, determ_keys):
     }
 
 
-def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals):
+def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals,
+                   e_ref=None):
     """(keys, vals) of (H - hf_en)|trial> by exact application + diagonal
-    (frisys_mol.cpp:205-214)."""
+    (frisys_mol.cpp:205-214).  ``e_ref`` overrides the HF diagonal shift
+    (--ham_shift)."""
     trial_keys = np.asarray(trial_keys)
     trial_vals = np.asarray(trial_vals)
     live = trial_vals != 0
@@ -535,6 +537,8 @@ def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals):
     occ = dets.occ_list(jnp.asarray(tk), ham.n_bits, ham.n_elec)
     tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
     _, _, hf_en = mol.hf_reference(ham)
+    if e_ref is not None:
+        hf_en = float(e_ref)
     w, amp, _ = mol.exact_offdiag_batch(
         ham, tmpl, jnp.asarray(tk), occ, jnp.asarray(tv), 1.0
     )
@@ -553,7 +557,8 @@ def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals):
 
 
 def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
-          init_val: float = 100.0, determ_keys=None, trial=None, init_vec=None):
+          init_val: float = 100.0, determ_keys=None, trial=None, init_vec=None,
+          e_ref=None):
     """Assemble the flagship frisys workload: HB-PP spawner + power core +
     trial / H-trial estimator vectors.  Returns (step, run_steps, state,
     aux); aux["protected_keys"] carries the deterministic subspace for the
@@ -563,11 +568,15 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
       (frisys_mol.cpp:159-214; default: the HF unit vector).
     init_vec: optional (keys, vals) starting vector (--ini_vec,
       frisys_mol.cpp:264-275; default: HF * init_val).
+    e_ref: optional diagonal shift overriding the HF diagonal energy
+      (--ham_shift, frisys_mol.cpp:94-99: hf_en = ham_shift - core_en).
     """
     syminfo = mol.SymmInfo.build(np.asarray(ham.symm))
     tens = hb.setup(ham)
     p_doub = hf_p_doub(ham, syminfo)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    if e_ref is not None:
+        hf_en = float(e_ref)
 
     determ = build_determ_block(ham, determ_keys) if determ_keys is not None else None
     spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en, determ=determ)
@@ -581,7 +590,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
         trial_vals = np.ones((1,))
     else:
         trial_keys, trial_vals = np.asarray(trial[0]), np.asarray(trial[1])
-    htrial_keys, htrial_vals = compute_htrial(ham, trial_keys, trial_vals)
+    htrial_keys, htrial_vals = compute_htrial(ham, trial_keys, trial_vals,
+                                              e_ref=hf_en)
     aux = {
         "e_ref": hf_en,
         "num_keys": jnp.asarray(htrial_keys),
@@ -628,7 +638,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
 
 
 def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
-                  mesh, init_val: float = 100.0):
+                  mesh, init_val: float = 100.0, trial=None, init_vec=None,
+                  e_ref=None, determ_keys=None):
     """Multi-chip frisys: hash-sharded arena over a 1-D mesh with all-to-all
     spawn exchange (the TPU analogue of the reference's MPI layout,
     SURVEY.md section 5.8).  ``cfg`` must carry axis_name/n_shards matching
@@ -643,8 +654,14 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
     tens = hb.setup(ham)
     p_doub = hf_p_doub(ham, syminfo)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    if e_ref is not None:
+        hf_en = float(e_ref)
 
-    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en)
+    # semistochastic dense block: replicated across shards, members applied
+    # exactly by whichever shard owns them (frisys_mol.cpp:347-401 + MPI)
+    determ = build_determ_block(ham, determ_keys) if determ_keys is not None else None
+    spawn = make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, hf_en,
+                              determ=determ)
     diag_fn = make_diag_fn(ham, hf_en, cfg.spin_parity)
     step, run_steps = power.make_stepper(
         spawn, diag_fn, cfg.power(), estimator="direct"
@@ -653,30 +670,46 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FrisysConfig, seed: int,
         step, run_steps, mesh, cfg.axis_name
     )
 
-    tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
-    tw, ta, _ = mol.exact_offdiag_batch(
-        ham, tmpl, hf_words[None], hf_occ[None], jnp.ones((1,)), 1.0
-    )
-    tw = np.asarray(tw[0])
-    ta = np.asarray(ta[0])
-    keep = ta != 0
-    htrial_keys = np.concatenate([np.asarray(hf_words)[None], tw[keep]])
-    htrial_vals = np.concatenate([[0.0], ta[keep]])
+    if trial is None:
+        trial_keys = np.asarray(hf_words)[None]
+        trial_vals = np.ones((1,))
+    else:
+        trial_keys, trial_vals = np.asarray(trial[0]), np.asarray(trial[1])
+    htrial_keys, htrial_vals = compute_htrial(ham, trial_keys, trial_vals,
+                                              e_ref=hf_en)
 
+    if init_vec is not None:
+        ik = np.asarray(init_vec[0])
+        iv = np.asarray(init_vec[1])
+        init_keys = jnp.asarray(ik)
+        init_vals = jnp.stack([jnp.asarray(iv), jnp.zeros(len(iv))])
+    elif determ is not None:
+        # seed the dense-subspace members (init_dense, vec_utils.hpp:858-897)
+        dkeys = np.asarray(determ["keys"])
+        ik = [np.asarray(hf_words)]
+        iv = [init_val]
+        for row in dkeys:
+            if not np.array_equal(row, np.asarray(hf_words)):
+                ik.append(row)
+                iv.append(0.0)
+        init_keys = jnp.asarray(np.stack(ik))
+        init_vals = jnp.stack(
+            [jnp.asarray(iv), jnp.zeros(len(iv))]
+        )
+    else:
+        init_keys = hf_words[None]
+        init_vals = jnp.asarray([[init_val], [0.0]])
     state = parallel.sharded_state(
-        hf_words[None],
-        jnp.asarray([[init_val], [0.0]]),
-        cfg.n_shards,
-        cfg.capacity,
-        seed,
+        init_keys, init_vals, cfg.n_shards, cfg.capacity, seed,
     )
     aux = {
         "e_ref": hf_en,
         "num_keys": jnp.asarray(htrial_keys),
         "num_vals": jnp.asarray(htrial_vals),
-        "den_keys": hf_words[None],
-        "den_vals": jnp.ones((1,)),
+        "den_keys": jnp.asarray(trial_keys),
+        "den_vals": jnp.asarray(trial_vals),
         "ref_key": hf_words,
         "p_doub": p_doub,
+        "protected_keys": determ["keys"] if determ is not None else None,
     }
     return sharded_step, sharded_run, state, aux

@@ -77,17 +77,17 @@ class SubspaceState:
 
 
 def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
-          trial_keys, trial_vals, seed: int):
+          trial_keys, trial_vals, seed: int, e_ref=None):
     """trial_keys: (T, Nt, W) determinants of each trial vector (sentinel-
     padded); trial_vals: (T, Nt).  The iterates start as the trial vectors
-    (subsp_mol.cpp:197-235)."""
+    (subsp_mol.cpp:197-235).  ``e_ref`` overrides the HF diagonal shift
+    (--ham_shift, subsp_mol.cpp:36 + 96-99)."""
     t = cfg.n_trial
     if cfg.spin_parity:
         # fold each trial vector onto canonical spin-flip representatives
         # (subsp_mol.cpp:207-224)
         from fries_tpu.ops import time_reversal as tr_mod
 
-        assert not cfg.lowmem, "lowmem + time_reversal not yet supported"
         folded = [
             tr_mod.fold_vector_host(
                 ham, trial_keys[j], trial_vals[j], cfg.spin_parity
@@ -108,6 +108,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
     tens = hb.setup(ham)
     p_doub = frisys.hf_p_doub(ham, syminfo)
     hf_words, hf_occ, hf_en = mol.hf_reference(ham)
+    if e_ref is not None:
+        hf_en = float(e_ref)
     n_orb, n_elec = ham.n_orb, ham.n_elec
 
     fcfg = frisys.FrisysConfig(
@@ -201,6 +203,15 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         mol.diag_matrel(ham, t_occ) - hf_en,
         0.0,
     )
+    if cfg.spin_parity:
+        # folded-basis diagonal for the lowmem on-the-fly <trial|H|v>
+        # (subsp_mol_lowmem supports --time_reversal; same MyArgs struct)
+        from fries_tpu.ops import time_reversal as tr_mod
+
+        delta_t, forbid_t = tr_mod.tr_diag(ham, t_keys, t_occ, cfg.spin_parity)
+        t_diag_rel = jnp.where(
+            forbid_t | ~t_valid, 0.0, t_diag_rel + delta_t
+        )
 
     # initial arena: union of trial dets with each row = trial vector
     all_keys = np.asarray(trial_keys).reshape(-1, ham.n_words)
@@ -275,6 +286,21 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
                 )
                 fw = tw.reshape(-1, ham.n_words)
                 fa = ta.reshape(-1)
+                if cfg.spin_parity:
+                    # fold the enumerated spawns exactly as the stored
+                    # H*trial path does (adjust_tr, molecule.cpp:298-378)
+                    from fries_tpu.ops import time_reversal as tr_mod
+
+                    nc_i = ta.shape[1]
+                    parents_i = jnp.repeat(t_keys[i], nc_i, axis=0)
+                    pocc_i = jnp.repeat(t_occ[i], nc_i, axis=0)
+                    scale_i = jnp.repeat(
+                        jnp.where(t_valid[i], t_vals[i], 0.0), nc_i
+                    )
+                    fw, fa = tr_mod.adjust_exact(
+                        ham, parents_i, pocc_i, fw, fa, cfg.spin_parity,
+                        scale=scale_i,
+                    )
                 pos_o, found_o = dets.lookup_dets(a.keys, fw)
                 pos_t, found_t = dets.lookup_dets(a.keys, t_keys[i])
                 row_i = []
@@ -352,6 +378,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
         ))
         overflow = jnp.bool_(False)
+        n_ini_rows = []
         for j in range(t):
             vj = jnp.where(a.valid, a.vals[j], 0.0)
             kj = jax.random.fold_in(key_iter, 200 + j)
@@ -359,6 +386,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             # init_thresh * ||v_j||_1 / matr_samp, recomputed per vector per
             # iteration (init_thresh=0 keeps every parent an initiator)
             thr_j = cfg.init_thresh * norms_now[j] / cfg.matr_samp
+            n_ini_rows.append(jnp.sum(
+                ((jnp.abs(vj) >= thr_j) & (vj != 0)).astype(jnp.int32)
+            ))
             w, amp, ini_j = spawn(a.keys, vj, -cfg.eps, kj, thresh=thr_j)
             all_words.append(w)
             all_amps.append(amp)
@@ -408,6 +438,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             "d_mat": d_mat,
             "norms": norms,
             "norm_factors": norm_factors,
+            # per-vector initiator counts (subsp_mol.cpp:610-624 -> n_ini.txt)
+            "n_ini": gsum(jnp.stack(n_ini_rows)),
             "n_dets": gsum(a2.n_used),
             "overflow": (
                 gsum(overflow.astype(jnp.int32)) > 0 if axis else overflow
@@ -436,14 +468,15 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
 
 
 def build_sharded(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
-                  trial_keys, trial_vals, seed: int, mesh):
+                  trial_keys, trial_vals, seed: int, mesh, e_ref=None):
     """Hash-sharded subspace iteration over a 1-D mesh (BASELINE.md requires
     subsp_mol sharded; the TPU analogue of the reference's MPI layout).
     ``cfg.capacity`` is per shard; budgets are global."""
     from fries_tpu import parallel
 
     assert cfg.axis_name and cfg.n_shards == mesh.devices.size
-    step, run_steps, state0, aux = build(ham, cfg, trial_keys, trial_vals, seed)
+    step, run_steps, state0, aux = build(ham, cfg, trial_keys, trial_vals, seed,
+                                         e_ref=e_ref)
     a = state0.arena
     live = np.asarray(a.valid)
     keys = np.asarray(a.keys)[live]

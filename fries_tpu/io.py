@@ -332,3 +332,45 @@ def load_last_line(path):
     if not lines:
         return np.zeros(0)
     return np.asarray([float(x) for x in lines[-1].split(",")])
+
+
+_NPY_HEADER_LEN = 128  # fixed so the shape can be rewritten in place
+
+
+def _npy_write_header(f, dtype, shape):
+    magic = b"\x93NUMPY\x01\x00"
+    hdr = ("{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
+           % (np.lib.format.dtype_to_descr(dtype), repr(tuple(shape))))
+    pad = _NPY_HEADER_LEN - len(magic) - 2 - len(hdr) - 1
+    if pad < 0:
+        raise ValueError("npy header too long")
+    f.write(magic)
+    f.write(np.uint16(_NPY_HEADER_LEN - len(magic) - 2).tobytes())
+    f.write((hdr + " " * pad + "\n").encode("latin1"))
+
+
+def npy_append(path, arr):
+    """Append ``arr`` as one record along a leading axis of the .npy file at
+    ``path``, creating it with shape (1,) + arr.shape.  Matches the
+    reference's cnpy append mode for the subspace h_mat/d_mat trajectories
+    (subsp_mol.cpp:454-457); the result loads with ``np.load``."""
+    import os
+
+    arr = np.ascontiguousarray(arr)
+    if not os.path.exists(path):
+        with open(path, "wb") as f:
+            _npy_write_header(f, arr.dtype, (1,) + arr.shape)
+            f.write(arr.tobytes())
+        return
+    with open(path, "r+b") as f:
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if fortran or dtype != arr.dtype or tuple(shape[1:]) != arr.shape:
+            raise ValueError(
+                f"npy_append: existing {path} has shape {shape} dtype {dtype},"
+                f" incompatible with record {arr.shape} {arr.dtype}"
+            )
+        f.seek(0)
+        _npy_write_header(f, arr.dtype, (shape[0] + 1,) + arr.shape)
+        f.seek(0, 2)
+        f.write(arr.tobytes())

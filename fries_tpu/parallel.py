@@ -123,7 +123,24 @@ def shard_stepper(step, run_steps, mesh: Mesh, axis: str = AXIS):
     )
 
     def sharded_run(state, num_keys, num_vals, den_keys, den_vals, ref_key,
-                    n_iter: int):
+                    n_iter: int, protected=None):
+        if protected is not None:
+            # semistochastic: the dense subspace is replicated; each shard
+            # protects the members it owns (frisys_mol.cpp:347-401 runs the
+            # same block on every MPI rank)
+            fn = jax.jit(
+                jax.shard_map(
+                    lambda s, nk, nv, dk, dv, rk, pk: run_steps(
+                        s, nk, nv, dk, dv, rk, n_iter, pk
+                    ),
+                    mesh=mesh,
+                    in_specs=(sspec,) + est_specs + (repl,),
+                    out_specs=(sspec, metrics_spec()),
+                    check_vma=False,
+                )
+            )
+            return fn(state, num_keys, num_vals, den_keys, den_vals, ref_key,
+                      protected)
         fn = jax.jit(
             jax.shard_map(
                 lambda s, nk, nv, dk, dv, rk: run_steps(
@@ -151,7 +168,7 @@ def shard_subspace(step, run_steps, mesh: Mesh, axis: str = AXIS):
     )
     mspec = {
         "h_mat": P(), "d_mat": P(), "norms": P(), "norm_factors": P(),
-        "n_dets": P(), "overflow": P(),
+        "n_ini": P(), "n_dets": P(), "overflow": P(),
     }
     sharded_step = jax.jit(
         jax.shard_map(

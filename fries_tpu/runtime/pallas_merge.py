@@ -83,6 +83,18 @@ def _f2i(x):
     return lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _count(x):
+    """Exact small-count reduction via f32 (Mosaic's int-reduce proxy path
+    emits 64-bit converts under x64; counts here are <= 2*TILE < 2^24)."""
+    return jnp.sum(x.astype(jnp.float32)).astype(jnp.int32)
+
+
+def _count_axis0(x):
+    """Per-lane sublane count via f32, keepdims (same rationale)."""
+    return jnp.sum(x.astype(jnp.float32), axis=0,
+                   keepdims=True).astype(jnp.int32)
+
+
 def _i2f_host(x):
     return lax.bitcast_convert_type(x, jnp.float32)
 
@@ -242,20 +254,18 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         # M1[j, i] = B[j] < A[i]  (B sublane, A lane): A wins ties.
         m1 = (b_kh < a_kh_l) | ((b_kh == a_kh_l) & (b_kl < a_kl_l))
         pos_a = (lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-                 + jnp.sum(m1.astype(jnp.int32), axis=0, keepdims=True,
-                           dtype=jnp.int32))
+                 + _count_axis0(m1))
         # M2[i, j] = A[i] <= B[j]  (A sublane, B lane)
         m2 = (a_kh < b_kh_l) | ((a_kh == b_kh_l) & (a_kl <= b_kl_l))
         pos_b = (lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-                 + jnp.sum(m2.astype(jnp.int32), axis=0, keepdims=True,
-                           dtype=jnp.int32))
+                 + _count_axis0(m2))
 
         a_sent = (a_kh_l == sent_h) & (a_kl_l == sent_l)
         b_sent = (b_kh_l == sent_h) & (b_kl_l == sent_l)
         take_a = (pos_a < TILE) & (~a_sent)      # (1, T)
         take_b = (pos_b < TILE) & (~b_sent)
-        n_cons_a = jnp.sum(take_a.astype(jnp.int32), dtype=jnp.int32)
-        n_cons_b = jnp.sum(take_b.astype(jnp.int32), dtype=jnp.int32)
+        n_cons_a = _count(take_a)
+        n_cons_b = _count(take_b)
 
         # ---- place consumed rows into merged order (one-hot select-sum) ----
         p_out = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
@@ -312,8 +322,7 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         occ = (fscan & _F_OCC) > 0
         allowed_sp = is_spawn & (m_ini | occ)
         contributes = allowed_sp | is_arena
-        nonini_new = jnp.sum((is_spawn & (~m_ini) & occ).astype(jnp.int32),
-                             dtype=jnp.int32)
+        nonini_new = _count(is_spawn & (~m_ini) & occ)
 
         add_h = jnp.where(contributes, mv_h, 0.0)
         add_l = jnp.where(contributes, mv_l, 0.0)
@@ -330,8 +339,9 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         is_last = jnp.where(idx == TILE - 1, False, nxt) & filled
         emit = is_last & _seg_alive(fscan)
         # carry flush: previous open segment ended exactly at the tile edge
-        flush = cv_ok & first[0, 0] & _seg_alive(st[4])
-        base = flush.astype(jnp.int32)
+        first0 = first.astype(jnp.int32)[0, 0] > 0
+        flush = cv_ok & first0 & _seg_alive(st[4])
+        base = jnp.where(flush, jnp.int32(1), jnp.int32(0))
         rank = _cumsum_i32(emit.astype(jnp.int32)) - 1 + base
         n_emit = rank[TILE - 1, 0] + 1
 
@@ -379,7 +389,7 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         # new carry = open (last) segment's inclusive state at TILE-1
         last_open = ~((mk_h[TILE - 1, 0] == sent_h)
                       & (mk_l[TILE - 1, 0] == sent_l))
-        st[3] = last_open.astype(jnp.int32)
+        st[3] = jnp.where(last_open, jnp.int32(1), jnp.int32(0))
         st[4] = jnp.where(last_open, fscan[TILE - 1, 0], 0)
         st[5] = st[5] + nonini_new
         ckey[0] = jnp.where(last_open, mk_h[TILE - 1, 0], _I32_MAX)
@@ -416,7 +426,7 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
             st[2] = oi + 1
 
         stats_ref[0] = st[2]
-        stats_ref[1] = (st[2] > cap).astype(jnp.int32)
+        stats_ref[1] = jnp.where(st[2] > cap, jnp.int32(1), jnp.int32(0))
         stats_ref[2] = st[5]
         for i in range(3, 8):
             stats_ref[i] = 0

@@ -69,3 +69,21 @@ def n2_ccpvdz_like(seed=0):
         np.int32,
     )
     return make_system(28, 14, symm=symm, seed=seed, scale_two=0.08)
+
+
+def h2o_ccpvdz_like(seed=0):
+    """H2O/cc-pVDZ-sized system: 24 spatial orbitals, 10 electrons, C2v irrep
+    distribution (a1 11, b1 4, b2 7, a2 2) - the size class of the
+    reference's H2O benchmarks (BASELINE.md, Results.tex)."""
+    symm = np.array([0] * 11 + [2] * 4 + [3] * 7 + [1] * 2, np.int32)
+    return make_system(24, 10, symm=symm, seed=seed, scale_two=0.1)
+
+
+def ne_augccpvdz_like(seed=0):
+    """Ne/aug-cc-pVDZ-sized system: 23 spatial orbitals, 10 electrons, D2h
+    irrep distribution - the size class of the reference's Ne multi-state
+    benchmarks (BASELINE.md, Results.tex)."""
+    symm = np.array(
+        [0] * 9 + [5] * 5 + [2] * 3 + [3] * 3 + [6] + [7] + [1], np.int32
+    )
+    return make_system(23, 10, symm=symm, seed=seed, scale_two=0.1)
