@@ -43,6 +43,40 @@ STG = TILE + 8      # staging rows (slot 0 reserved for a carry flush)
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
+_TPU_SUPPORTED: bool | None = None
+
+
+def tpu_supported() -> bool:
+    """Can the current backend compile sequential-grid Pallas kernels?
+
+    Probes once with a trivial grid kernel and caches the result.  The axon
+    tunnel's chipless AOT compile helper (2026-08) crashes on ANY kernel
+    with a grid or a manual DMA (a plain grid=(4,) block copy reproduces
+    it), while gridless kernels compile fine - so availability must be
+    detected at runtime rather than assumed from platform == "tpu".
+    """
+    global _TPU_SUPPORTED
+    if _TPU_SUPPORTED is not None:
+        return _TPU_SUPPORTED
+    if jax.default_backend() != "tpu":
+        _TPU_SUPPORTED = False
+        return False
+    try:
+        def _k(x_ref, o_ref):
+            o_ref[...] = x_ref[...]
+
+        f = pl.pallas_call(
+            _k, grid=(2,),
+            in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        )
+        jax.jit(f).lower(jnp.zeros((16, 128), jnp.float32)).compile()
+        _TPU_SUPPORTED = True
+    except Exception:
+        _TPU_SUPPORTED = False
+    return _TPU_SUPPORTED
+
 
 # ---------------------------------------------------------------------------
 # host-side (XLA) encode / decode helpers
@@ -194,8 +228,18 @@ def _seg_alive(f):
         ((f & _F_OCC) > 0) & ((f & _F_SP) > 0))
 
 
+def _seg_alive_i(f):
+    """0/1 int form of :func:`_seg_alive` (pure arithmetic - Mosaic's scalar
+    bool select lowering recurses, so SMEM-scalar control state stays int32)."""
+    a = jnp.minimum(f & _F_ARENA, 1)
+    ini = jnp.minimum(f & _F_INISP, 1)
+    occ = jnp.minimum(f & _F_OCC, 1)
+    sp = jnp.minimum(f & _F_SP, 1)
+    return jnp.minimum(a + ini + occ * sp, 1)
+
+
 def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
-            awin, bwin, stg, st, ckey, cval, sems):
+            awin, bwin, stg, st, ckey, cval, sem_a, sem_b, sem_o):
     """One grid step: consume <= TILE merged elements, emit finished rows.
 
     scal: SMEM int32[8]: [n_a, n_s, sent_h, sent_l, capacity, 0, 0, 0]
@@ -233,9 +277,9 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
     def _tile():
         # ---- fetch both windows (one DMA each) ----
         cp_a = pltpu.make_async_copy(a_ref.at[pl.ds(ai, TILE)], awin,
-                                     sems.at[0])
+                                     sem_a)
         cp_b = pltpu.make_async_copy(b_ref.at[pl.ds(si, TILE)], bwin,
-                                     sems.at[1])
+                                     sem_b)
         cp_a.start()
         cp_b.start()
         cp_a.wait()
@@ -334,14 +378,17 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         # ---- emit completed segments ----
         # is_last[p] = next position starts a new segment; the very last
         # merged slot stays open and is carried instead.
-        nxt = jnp.roll(first, -1, axis=0)
+        nxt_i = jnp.roll(first.astype(jnp.int32), -1, axis=0)
         idx = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-        is_last = jnp.where(idx == TILE - 1, False, nxt) & filled
+        # NB: the untyped-0 form jnp.where(c, 0, nxt_i) traces an i64
+        # constant under x64 and Mosaic's i64->i32 convert recurses
+        is_last = (jnp.where(idx == TILE - 1, jnp.int32(0), nxt_i) > 0) & filled
         emit = is_last & _seg_alive(fscan)
         # carry flush: previous open segment ended exactly at the tile edge
-        first0 = first.astype(jnp.int32)[0, 0] > 0
-        flush = cv_ok & first0 & _seg_alive(st[4])
-        base = jnp.where(flush, jnp.int32(1), jnp.int32(0))
+        first0_i = first.astype(jnp.int32)[0, 0]
+        flush_i = st[3] * first0_i * _seg_alive_i(st[4])
+        flush = flush_i > 0
+        base = flush_i
         rank = _cumsum_i32(emit.astype(jnp.int32)) - 1 + base
         n_emit = rank[TILE - 1, 0] + 1
 
@@ -378,24 +425,28 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         @pl.when(ok)
         def _write():
             cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
-                                         sems.at[2])
+                                         sem_o)
             cp_o.start()
             cp_o.wait()
 
-        # ---- update SMEM state ----
+        # ---- update SMEM state (scalar selects via 0/1 arithmetic) ----
         st[0] = ai + n_cons_a
         st[1] = si + n_cons_b
         st[2] = oi + n_emit
-        # new carry = open (last) segment's inclusive state at TILE-1
-        last_open = ~((mk_h[TILE - 1, 0] == sent_h)
-                      & (mk_l[TILE - 1, 0] == sent_l))
-        st[3] = jnp.where(last_open, jnp.int32(1), jnp.int32(0))
-        st[4] = jnp.where(last_open, fscan[TILE - 1, 0], 0)
+        # new carry = open (last) segment's inclusive state at TILE-1;
+        # int 0/1 form computed in vector-land then scalarized
+        open_vec = jnp.where(
+            (mk_h == sent_h) & (mk_l == sent_l), jnp.int32(0), jnp.int32(1)
+        )
+        lo = open_vec[TILE - 1, 0]
+        lo_f = lo.astype(jnp.float32)
+        st[3] = lo
+        st[4] = lo * fscan[TILE - 1, 0]
         st[5] = st[5] + nonini_new
-        ckey[0] = jnp.where(last_open, mk_h[TILE - 1, 0], _I32_MAX)
-        ckey[1] = jnp.where(last_open, mk_l[TILE - 1, 0], _I32_MAX)
-        cval[0] = jnp.where(last_open, sv_h[TILE - 1, 0], 0.0)
-        cval[1] = jnp.where(last_open, sv_l[TILE - 1, 0], 0.0)
+        ckey[0] = lo * mk_h[TILE - 1, 0] + (1 - lo) * _I32_MAX
+        ckey[1] = lo * mk_l[TILE - 1, 0] + (1 - lo) * _I32_MAX
+        cval[0] = lo_f * sv_h[TILE - 1, 0]
+        cval[1] = lo_f * sv_l[TILE - 1, 0]
 
     @pl.when(is_final)
     def _flush():
@@ -420,13 +471,13 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
             @pl.when(oi <= cap)
             def _w():
                 cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
-                                             sems.at[2])
+                                             sem_o)
                 cp_o.start()
                 cp_o.wait()
             st[2] = oi + 1
 
         stats_ref[0] = st[2]
-        stats_ref[1] = jnp.where(st[2] > cap, jnp.int32(1), jnp.int32(0))
+        stats_ref[1] = jnp.minimum(jnp.maximum(st[2] - cap, 0), 1)
         stats_ref[2] = st[5]
         for i in range(3, 8):
             stats_ref[i] = 0
@@ -472,7 +523,9 @@ def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
             pltpu.SMEM((16,), jnp.int32),       # state
             pltpu.SMEM((2,), jnp.int32),        # carry key
             pltpu.SMEM((2,), jnp.float32),      # carry value pair
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out_rows = capacity + STG + 8
