@@ -58,39 +58,39 @@ def exchange(arrays: dict, target: jax.Array, n_shards: int,
     valid = ~dets.is_invalid(keys)
     target = jnp.where(valid, target, n_shards)  # invalid -> dropped bucket
 
-    # position of each row within its destination bucket
+    # sort rows by destination; bucket d then occupies the contiguous range
+    # [start_d, start_d + count_d) of the sorted order.  Everything below is
+    # sorts, searchsorteds and gathers - NO scatters (TPU scatters measured
+    # ~45 ns/element vs ~4 ns for gathers, PLAN.md round-2 profile).
     order = jnp.argsort(target, stable=True)
     sorted_target = target[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_target[1:] != sorted_target[:-1]]
-    )
-    seg_start = jnp.where(first, jnp.arange(s), 0)
-    seg_start = lax.associative_scan(jnp.maximum, seg_start)
-    pos_in_bucket = jnp.arange(s) - seg_start
-
-    bucket_count = jnp.zeros((n_shards,), jnp.int32).at[
-        jnp.clip(target, 0, n_shards)
-    ].add(jnp.where(valid, 1, 0), mode="drop")
-    overflow = jnp.any(bucket_count > per_pair_cap)
+    shard_ids = jnp.arange(n_shards, dtype=target.dtype)
+    start = jnp.searchsorted(sorted_target, shard_ids, side="left",
+                             method="sort").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_target, shard_ids, side="right",
+                           method="sort").astype(jnp.int32)
+    count = end - start
+    overflow = jnp.any(count > per_pair_cap)
     overflow = lax.psum(overflow.astype(jnp.int32), axis_name) > 0
 
-    # scatter into (n_shards, per_pair_cap) send buffers
-    dest_row = sorted_target
-    dest_col = pos_in_bucket
-    ok = (dest_row < n_shards) & (dest_col < per_pair_cap)
-    flat_dest = jnp.where(ok, dest_row * per_pair_cap + dest_col,
-                          n_shards * per_pair_cap)
+    # gather-based send-buffer build: output slot (d, c) pulls sorted row
+    # start_d + c when c < count_d
+    d_idx = jnp.repeat(shard_ids, per_pair_cap)
+    c_idx = jnp.tile(jnp.arange(per_pair_cap, dtype=jnp.int32), n_shards)
+    src_slot = start[d_idx] + c_idx
+    ok = c_idx < count[d_idx]
+    src_slot = jnp.clip(src_slot, 0, s - 1)
 
     received = {}
     for name, arr in arrays.items():
         arr_sorted = arr[order]
+        picked = arr_sorted[src_slot]
         if name == "keys":
-            buf = jnp.tile(
-                dets.invalid_det(arr.shape[-1]), (n_shards * per_pair_cap, 1)
-            )
+            fill = jnp.asarray(dets.invalid_det(arr.shape[-1]))
+            buf = jnp.where(ok[:, None], picked, fill)
         else:
-            buf = jnp.zeros((n_shards * per_pair_cap,) + arr.shape[1:], arr.dtype)
-        buf = buf.at[flat_dest].set(arr_sorted, mode="drop")
+            okb = ok.reshape((-1,) + (1,) * (arr.ndim - 1))
+            buf = jnp.where(okb, picked, jnp.zeros((), arr.dtype))
         buf = buf.reshape((n_shards, per_pair_cap) + arr.shape[1:])
         out = lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0, tiled=False)
         received[name] = out.reshape((n_shards * per_pair_cap,) + arr.shape[1:])
