@@ -215,7 +215,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             overflow |= exch_ovf
 
         a1 = ar.set_row(a, 0, new_v)
-        a2, stats = ar.accumulate(
+        a2, stats = ar.accumulate_best(
             a1, new_words, spawn_val, ini, origin_row=0, dest_row=0,
         )
 

@@ -139,7 +139,7 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
             )
             flat_ini = received["ini"]
 
-        a2, stats = ar.accumulate(
+        a2, stats = ar.accumulate_best(
             a, flat_words, flat_amps, flat_ini, origin_row=0, dest_row=1,
         )
 

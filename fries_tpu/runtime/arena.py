@@ -355,6 +355,35 @@ def accumulate(
     return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
 
 
+def accumulate_best(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_ini: jax.Array,
+    origin_row: int = 0,
+    dest_row: int = 0,
+):
+    """:func:`accumulate`, via the Pallas streaming-merge kernel when the
+    backend compiles it and the row layout fits (single row, or the power
+    step's origin=0/dest=1 two-row layout with packable keys); the XLA
+    sorted-merge otherwise.  Set ``FRIES_NO_PALLAS=1`` to force XLA.
+    """
+    import os
+    from fries_tpu.runtime import pallas_merge as pm
+
+    fits = (
+        (arena.n_vecs, origin_row, dest_row) in ((1, 0, 0), (2, 0, 1))
+        and dets.packable(arena.n_words)
+    )
+    if fits and not os.environ.get("FRIES_NO_PALLAS") and pm.tpu_supported():
+        return pm.accumulate_pallas(
+            arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
+        )
+    return accumulate(
+        arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def accumulate_multi(
     arena: Arena,

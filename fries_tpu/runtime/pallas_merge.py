@@ -40,6 +40,8 @@ from fries_tpu import dets
 
 TILE = 512          # merged-stream elements consumed per grid step
 STG = TILE + 8      # staging rows (slot 0 reserved for a carry flush)
+NCOL = 128          # row width: Mosaic DMA slices need 128-aligned lanes
+                    # (cols 0..5 carry data, the rest are dead lanes)
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
@@ -49,11 +51,12 @@ _TPU_SUPPORTED: bool | None = None
 def tpu_supported() -> bool:
     """Can the current backend compile sequential-grid Pallas kernels?
 
-    Probes once with a trivial grid kernel and caches the result.  The axon
-    tunnel's chipless AOT compile helper (2026-08) crashes on ANY kernel
-    with a grid or a manual DMA (a plain grid=(4,) block copy reproduces
-    it), while gridless kernels compile fine - so availability must be
-    detected at runtime rather than assumed from platform == "tpu".
+    Probes once with a trivial grid kernel and caches the result.  Grid
+    kernels MUST be traced under ``jax.enable_x64(False)`` here: with the
+    package's global x64 mode the Pallas lowering emits an i64 grid scalar
+    that Mosaic cannot legalize (``func.return (i32, i64)``), which is what
+    made the 2026-08 axon AOT helper appear to reject all grid kernels.
+    :func:`_merge_call` applies the same scope around the real kernel.
     """
     global _TPU_SUPPORTED
     if _TPU_SUPPORTED is not None:
@@ -71,7 +74,12 @@ def tpu_supported() -> bool:
             out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
         )
-        jax.jit(f).lower(jnp.zeros((16, 128), jnp.float32)).compile()
+
+        def g(x):
+            with jax.enable_x64(False):
+                return f(x)
+
+        jax.jit(g).lower(jnp.zeros((16, 128), jnp.float32)).compile()
         _TPU_SUPPORTED = True
     except Exception:
         _TPU_SUPPORTED = False
@@ -243,13 +251,17 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
     """One grid step: consume <= TILE merged elements, emit finished rows.
 
     scal: SMEM int32[8]: [n_a, n_s, sent_h, sent_l, capacity, 0, 0, 0]
-    a_ref: HBM int32 (C + TILE, 8): kh, kl, vh_bits, vl_bits  (sorted, unique)
-    b_ref: HBM int32 (S + TILE, 8): kh, kl, vh_bits, vl_bits, ini  (sorted)
-    o_ref: HBM int32 (C + STG + 8, 8) output rows
+    a_ref: HBM int32 (C + TILE, NCOL): kh, kl, gvh, gvl, dvh, dvl
+       (sorted, unique; g = gate/origin row, d = dest row; cols 6+ dead)
+    b_ref: HBM int32 (S + TILE, NCOL): kh, kl, vh, vl, ini  (sorted)
+    o_ref: HBM int32 (C + STG + 8, NCOL) output rows: kh, kl, gvh, gvl,
+       dvh, dvl (g passes through arena rows; d = arena d + gated spawns;
+       dead lanes of emitted rows are undefined)
     stats_ref: SMEM int32[8] out: [n_out, overflow, nonini_occ_add, 0...]
     st (SMEM int32[16] scratch): 0 ai, 1 si, 2 oi, 3 carry_valid,
        4 carry_flags (_F_*), 5 nonini_acc
-    ckey: SMEM int32[2] carry key; cval: SMEM f32[2] carry value pair
+    ckey: SMEM int32[2] carry key
+    cval: SMEM f32[4] carry value pairs (gh, gl, dh, dl)
     """
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -265,8 +277,8 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
             st[i] = 0
         ckey[0] = _I32_MAX
         ckey[1] = _I32_MAX
-        cval[0] = 0.0
-        cval[1] = 0.0
+        for i in range(4):
+            cval[i] = 0.0
 
     ai = st[0]
     si = st[1]
@@ -328,15 +340,21 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         mk_l = place(mask_a, a_kl_l, iz) + place(mask_b, b_kl_l, iz)
         mk_h = jnp.where(filled, mk_h, sent_h)
         mk_l = jnp.where(filled, mk_l, sent_l)
-        a_vh_l = awin[:, 2:3].reshape(1, TILE)
-        a_vl_l = awin[:, 3:4].reshape(1, TILE)
+        a_gh_l = awin[:, 2:3].reshape(1, TILE)
+        a_gl_l = awin[:, 3:4].reshape(1, TILE)
+        a_dh_l = awin[:, 4:5].reshape(1, TILE)
+        a_dl_l = awin[:, 5:6].reshape(1, TILE)
         b_vh_l = bwin[:, 2:3].reshape(1, TILE)
         b_vl_l = bwin[:, 3:4].reshape(1, TILE)
-        mv_h = lax.bitcast_convert_type(
-            place(mask_a, a_vh_l, iz) + place(mask_b, b_vh_l, iz),
+        # gate (origin-row) values: arena rows only, pass through
+        mg_h = lax.bitcast_convert_type(place(mask_a, a_gh_l, iz), jnp.float32)
+        mg_l = lax.bitcast_convert_type(place(mask_a, a_gl_l, iz), jnp.float32)
+        # dest-row values: arena base + spawn contributions
+        md_h = lax.bitcast_convert_type(
+            place(mask_a, a_dh_l, iz) + place(mask_b, b_vh_l, iz),
             jnp.float32)
-        mv_l = lax.bitcast_convert_type(
-            place(mask_a, a_vl_l, iz) + place(mask_b, b_vl_l, iz),
+        md_l = lax.bitcast_convert_type(
+            place(mask_a, a_dl_l, iz) + place(mask_b, b_vl_l, iz),
             jnp.float32)
         m_ini = place(mask_b, bwin[:, 4:5].reshape(1, TILE), iz) > 0
 
@@ -352,7 +370,7 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
 
         is_arena = from_a
         is_spawn = from_b
-        arena_nz = is_arena & ((mv_h != 0.0) | (mv_l != 0.0))
+        arena_nz = is_arena & ((mg_h != 0.0) | (mg_l != 0.0))
         flags_src = (is_arena.astype(jnp.int32) * _F_ARENA
                      | arena_nz.astype(jnp.int32) * _F_OCC
                      | (is_spawn & m_ini).astype(jnp.int32) * _F_INISP
@@ -368,12 +386,18 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         contributes = allowed_sp | is_arena
         nonini_new = _count(is_spawn & (~m_ini) & occ)
 
-        add_h = jnp.where(contributes, mv_h, 0.0)
-        add_l = jnp.where(contributes, mv_l, 0.0)
+        add_h = jnp.where(contributes, md_h, 0.0)
+        add_l = jnp.where(contributes, md_l, 0.0)
         sv_h, sv_l = _seg_sum_scan(add_h, add_l, first)
-        cc_h, cc_l = _dd_add(sv_h, sv_l, cval[0], cval[1])
+        cc_h, cc_l = _dd_add(sv_h, sv_l, cval[2], cval[3])
         sv_h = jnp.where(inject, cc_h, sv_h)
         sv_l = jnp.where(inject, cc_l, sv_l)
+        # gate-row pass-through: at most one (arena) contributor per segment,
+        # so the same segmented sum reproduces the origin-row value exactly
+        gv_h, gv_l = _seg_sum_scan(mg_h, mg_l, first)
+        cg_h, cg_l = _dd_add(gv_h, gv_l, cval[0], cval[1])
+        gv_h = jnp.where(inject, cg_h, gv_h)
+        gv_l = jnp.where(inject, cg_l, gv_l)
 
         # ---- emit completed segments ----
         # is_last[p] = next position starts a new segment; the very last
@@ -404,6 +428,8 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
 
         e_kh = eplace(mk_h, iz)
         e_kl = eplace(mk_l, iz)
+        e_gh = eplace(_f2i_k(gv_h), iz)
+        e_gl = eplace(_f2i_k(gv_l), iz)
         e_vh = eplace(_f2i_k(sv_h), iz)
         e_vl = eplace(_f2i_k(sv_l), iz)
         in_carry = s_out == 0
@@ -411,14 +437,18 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         efill = (eplace(jnp.ones((TILE, 1), jnp.int32), iz) > 0) | use_c
         e_kh = jnp.where(use_c, ckey[0], e_kh)
         e_kl = jnp.where(use_c, ckey[1], e_kl)
-        e_vh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[0])), e_vh)
-        e_vl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[1])), e_vl)
+        e_gh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[0])), e_gh)
+        e_gl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[1])), e_gl)
+        e_vh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[2])), e_vh)
+        e_vl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[3])), e_vl)
         e_kh = jnp.where(efill, e_kh, sent_h)
         e_kl = jnp.where(efill, e_kl, sent_l)
         stg[:, 0:1] = e_kh
         stg[:, 1:2] = e_kl
-        stg[:, 2:3] = e_vh
-        stg[:, 3:4] = e_vl
+        stg[:, 2:3] = e_gh
+        stg[:, 3:4] = e_gl
+        stg[:, 4:5] = e_vh
+        stg[:, 5:6] = e_vl
 
         oi = st[2]
         ok = oi <= cap
@@ -445,8 +475,10 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         st[5] = st[5] + nonini_new
         ckey[0] = lo * mk_h[TILE - 1, 0] + (1 - lo) * _I32_MAX
         ckey[1] = lo * mk_l[TILE - 1, 0] + (1 - lo) * _I32_MAX
-        cval[0] = lo_f * sv_h[TILE - 1, 0]
-        cval[1] = lo_f * sv_l[TILE - 1, 0]
+        cval[0] = lo_f * gv_h[TILE - 1, 0]
+        cval[1] = lo_f * gv_l[TILE - 1, 0]
+        cval[2] = lo_f * sv_h[TILE - 1, 0]
+        cval[3] = lo_f * sv_l[TILE - 1, 0]
 
     @pl.when(is_final)
     def _flush():
@@ -457,16 +489,13 @@ def _kernel(scal, a_ref, b_ref, o_ref, stats_ref,
         def _do_flush():
             kh0 = ckey[0]
             kl0 = ckey[1]
-            vh0 = cval[0]
-            vl0 = cval[1]
             s_out = lax.broadcasted_iota(jnp.int32, (STG, 1), 0)
             row0 = s_out == 0
             stg[:, 0:1] = jnp.where(row0, kh0, _I32_MAX)
             stg[:, 1:2] = jnp.where(row0, kl0, _I32_MAX)
-            stg[:, 2:3] = jnp.where(row0, _f2i_k(jnp.full((STG, 1), vh0)),
-                                    jnp.int32(0))
-            stg[:, 3:4] = jnp.where(row0, _f2i_k(jnp.full((STG, 1), vl0)),
-                                    jnp.int32(0))
+            for col in range(4):
+                stg[:, 2 + col : 3 + col] = jnp.where(
+                    row0, _f2i_k(jnp.full((STG, 1), cval[col])), jnp.int32(0))
 
             @pl.when(oi <= cap)
             def _w():
@@ -517,61 +546,83 @@ def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE, 8), jnp.int32),   # arena window
-            pltpu.VMEM((TILE, 8), jnp.int32),   # spawn window
-            pltpu.VMEM((STG, 8), jnp.int32),    # staging
+            pltpu.VMEM((TILE, NCOL), jnp.int32),   # arena window
+            pltpu.VMEM((TILE, NCOL), jnp.int32),   # spawn window
+            pltpu.VMEM((STG, NCOL), jnp.int32),    # staging
             pltpu.SMEM((16,), jnp.int32),       # state
             pltpu.SMEM((2,), jnp.int32),        # carry key
-            pltpu.SMEM((2,), jnp.float32),      # carry value pair
+            pltpu.SMEM((4,), jnp.float32),      # carry value pairs (g, d)
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out_rows = capacity + STG + 8
-    o_t, stats = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_rows, 8), jnp.int32),
-            jax.ShapeDtypeStruct((8,), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(scal, a_t, b_t)
+    # Trace the kernel under 32-bit mode: with global x64 the lowering
+    # emits an i64 grid scalar Mosaic cannot legalize (see tpu_supported).
+    with jax.enable_x64(False):
+        o_t, stats = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, NCOL), jnp.int32),
+                jax.ShapeDtypeStruct((8,), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(scal, a_t, b_t)
     return o_t, stats
 
 
 def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
+                      origin_row: int = 0, dest_row: int = 0,
                       *, interpret: bool = False):
-    """Drop-in for ``arena.accumulate`` (single row, origin==dest==0).
+    """Drop-in for ``arena.accumulate``.
 
-    Returns (new_arena, stats) with the same semantics; see module docstring
-    for the 32-bit re-encoding.  Requires ``dets.packable(arena.n_words)``.
+    Supports the two layouts the drivers use: a single value row with
+    origin == dest == 0 (fciqmc / observables), and a two-row arena with
+    origin_row=0 (the gate/solution row, passed through) and dest_row=1
+    (the spawn-accumulation row, zeroed by the power step before entry) -
+    the flagship power-iteration layout (drivers/power.py).  Returns
+    (new_arena, stats) with semantics identical to ``arena.accumulate``;
+    see the module docstring for the 32-bit re-encoding.  Requires
+    ``dets.packable(arena.n_words)``.
     """
     from fries_tpu.runtime import arena as arena_mod
 
     c, w = arena.keys.shape
-    assert arena.n_vecs == 1, "pallas accumulate: single value row only"
+    r = arena.n_vecs
+    assert (r, origin_row, dest_row) in ((1, 0, 0), (2, 0, 1)), (
+        "pallas accumulate supports (n_vecs, origin, dest) = (1,0,0)|(2,0,1)")
     assert dets.packable(w), "pallas accumulate needs packable det keys"
     s = spawn_keys.shape[0]
 
     # ---- encode arena stream (sorted, unique, sentinel padded) ----
     a_kh, a_kl = split_key(arena.keys)
-    a_vh, a_vl = split_val(arena.vals[0].astype(jnp.float64))
+    a_gh, a_gl = split_val(arena.vals[origin_row].astype(jnp.float64))
+    if r == 2:
+        a_dh, a_dl = split_val(arena.vals[dest_row].astype(jnp.float64))
+    else:
+        a_dh, a_dl = a_gh, a_gl
     pad = jnp.zeros((TILE,), jnp.int32)
     sh, sl = split_key(dets.invalid_det(w)[None, :])
-    a_t = jnp.stack([
+
+    def widen(cols, n):
+        """(n+TILE, len(cols)) data columns -> (n+TILE, NCOL) padded rows."""
+        data = jnp.stack(cols, axis=1)
+        return jnp.concatenate(
+            [data, jnp.zeros((n + TILE, NCOL - len(cols)), jnp.int32)],
+            axis=1)
+
+    a_t = widen([
         jnp.concatenate([a_kh, jnp.full((TILE,), sh[0], jnp.int32)]),
         jnp.concatenate([a_kl, jnp.full((TILE,), sl[0], jnp.int32)]),
-        jnp.concatenate([_f2i(a_vh), pad]),
-        jnp.concatenate([_f2i(a_vl), pad]),
-        jnp.zeros((c + TILE,), jnp.int32),
-        jnp.zeros((c + TILE,), jnp.int32),
-        jnp.zeros((c + TILE,), jnp.int32),
-        jnp.zeros((c + TILE,), jnp.int32),
-    ], axis=1)
+        jnp.concatenate([_f2i(a_gh), pad]),
+        jnp.concatenate([_f2i(a_gl), pad]),
+        jnp.concatenate([_f2i(a_dh), pad]),
+        jnp.concatenate([_f2i(a_dl), pad]),
+    ], c)
 
     # ---- sort + encode spawn stream ----
     skey = dets.pack_key(spawn_keys)
@@ -588,16 +639,13 @@ def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
     s_vh = jnp.where(s_valid, s_vh, 0.0)
     s_vl = jnp.where(s_valid, s_vl, 0.0)
     sini_s = jnp.where(s_valid, sini_s, 0)
-    b_t = jnp.stack([
+    b_t = widen([
         jnp.concatenate([s_kh, jnp.full((TILE,), sh[0], jnp.int32)]),
         jnp.concatenate([s_kl, jnp.full((TILE,), sl[0], jnp.int32)]),
         jnp.concatenate([_f2i(s_vh), pad]),
         jnp.concatenate([_f2i(s_vl), pad]),
         jnp.concatenate([sini_s, pad]),
-        jnp.zeros((s + TILE,), jnp.int32),
-        jnp.zeros((s + TILE,), jnp.int32),
-        jnp.zeros((s + TILE,), jnp.int32),
-    ], axis=1)
+    ], s)
 
     n_a = jnp.sum(arena.valid, dtype=jnp.int32)
     n_s = jnp.sum(s_valid, dtype=jnp.int32)
@@ -610,9 +658,16 @@ def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
     kh = jnp.where(live, o_t[:c, 0], sh[0])
     kl = jnp.where(live, o_t[:c, 1], sl[0])
     keys = unsplit_key(kh, kl, w)
-    vals = (_i2f_host(o_t[:c, 2]).astype(jnp.float64)
-            + _i2f_host(o_t[:c, 3]).astype(jnp.float64))
-    vals = jnp.where(live, vals, 0.0)[None, :].astype(arena.vals.dtype)
+
+    def decode(hi_col, lo_col):
+        v = (_i2f_host(o_t[:c, hi_col]).astype(jnp.float64)
+             + _i2f_host(o_t[:c, lo_col]).astype(jnp.float64))
+        return jnp.where(live, v, 0.0)
+
+    if r == 1:
+        vals = decode(4, 5)[None, :].astype(arena.vals.dtype)
+    else:
+        vals = jnp.stack([decode(2, 3), decode(4, 5)]).astype(arena.vals.dtype)
     new_arena = arena_mod.Arena(
         keys=keys, vals=vals, n_used=jnp.minimum(n_out, c)[None])
     return new_arena, {"overflow": overflow,

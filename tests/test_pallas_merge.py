@@ -129,6 +129,34 @@ def test_overflow_flagged():
     assert bool(gstats["overflow"])
 
 
+@pytest.mark.parametrize("trial", range(2))
+def test_two_row_power_layout(trial):
+    """origin_row=0 gate / dest_row=1 accumulate - the power-step layout."""
+    rng = np.random.default_rng(40 + trial)
+    capacity = 1024
+    a1, sk, sv, si = _rand_case(
+        rng, 2, capacity, n_occ=400, n_spawn=700, n_universe=800)
+    # widen to two rows: row 0 = solution (gate), row 1 = zeros (dest)
+    a = arena_mod.Arena(
+        keys=a1.keys,
+        vals=jnp.concatenate([a1.vals, jnp.zeros_like(a1.vals)]),
+        n_used=a1.n_used)
+    ref, rstats = arena_mod.accumulate(a, sk, sv, si,
+                                       origin_row=0, dest_row=1)
+    got, gstats = pallas_merge.accumulate_pallas(
+        a, sk, sv, si, origin_row=0, dest_row=1, interpret=True)
+    assert bool(gstats["overflow"]) == bool(rstats["overflow"])
+    assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
+    assert int(got.n_used[0]) == int(ref.n_used[0])
+    rvalid = np.nonzero(~np.asarray(dets.is_invalid(ref.keys)))[0]
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[rvalid], np.asarray(ref.keys)[rvalid])
+    for row in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got.vals[row])[rvalid],
+            np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
+
+
 def test_key_roundtrip():
     rng = np.random.default_rng(11)
     for w in (1, 2):
