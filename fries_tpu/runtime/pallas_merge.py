@@ -27,6 +27,7 @@ per-determinant contribution sums with cross-tile carries in SMEM.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -38,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fries_tpu import dets
 
-TILE = 512          # merged-stream elements consumed per grid step
+TILE = int(os.environ.get("FRIES_MERGE_TILE", "128"))
+                    # merged-stream elements consumed per grid step.
+                    # 128 is the largest tile whose (TILE, TILE) merge-rank
+                    # temporaries fit the Mosaic VMEM stack (~16 MiB at 128,
+                    # scaling ~TILE^2; 512 both exceeds VMEM outright and
+                    # pushes Mosaic compile time past 45 min)
 STG = TILE + 8      # staging rows (slot 0 reserved for a carry flush)
 NCOL = 128          # row width: Mosaic DMA slices need 128-aligned lanes
                     # (cols 0..5 carry data, the rest are dead lanes)
@@ -569,7 +575,10 @@ def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
                 jax.ShapeDtypeStruct((8,), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
+                dimension_semantics=("arbitrary",),
+                # the (TILE, TILE) merge-rank/placement temporaries exceed
+                # the default 16 MiB scoped-vmem stack at TILE >= 128
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(scal, a_t, b_t)
     return o_t, stats
