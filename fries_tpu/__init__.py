@@ -30,4 +30,16 @@ import jax
 # big per-determinant tensors stay f32/int32 so the TPU hot path is native.
 jax.config.update("jax_enable_x64", True)
 
+# TPU's DEFAULT matmul precision truncates f32 operands to one bf16 pass
+# (8 mantissa bits).  Every one-hot gather-by-matmul in kernels.py and every
+# "error-free" integer-split product relies on f32 operands surviving the MXU
+# intact, and the sampling prefix sums feed inverse-CDF draws that must agree
+# with the probabilities used for value division.  Measured consequence of the
+# default (2026-08-17, TPU v5e): diag matrix elements wrong by ~1 mHa and
+# batch-shape-DEPENDENT, because XLA picks the MXU (truncating) lowering for
+# some shapes and the exact VPU lowering for others.  HIGHEST = 6-pass bf16,
+# which represents each f32 operand exactly (3x8 mantissa bits), so one-hot
+# selections and <=2^24 integer accumulations are bit-exact again.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"

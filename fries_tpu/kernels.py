@@ -42,6 +42,7 @@ def row_cumsum(x: jax.Array, exclusive: bool = False) -> jax.Array:
         x.astype(jnp.float32),
         tri,
         (((x.ndim - 1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
@@ -74,14 +75,18 @@ def take_rows_small(table: jax.Array, idx: jax.Array) -> jax.Array:
     oh = (idx[..., None] == jnp.arange(t, dtype=jnp.int32)).astype(jnp.float32)
     oh_flat = oh.reshape(-1, t)
     out_shape = idx.shape + table.shape[1:]
+    # HIGHEST is load-bearing on TPU: the one-hot rows are exact in bf16 but
+    # the table values are not, and the DEFAULT single-bf16-pass MXU lowering
+    # would truncate them to 8 mantissa bits before the select.
+    mm = lambda a, b: jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
     if table.dtype == jnp.float64:
         hi32 = table.astype(jnp.float32)
         lo32 = (table - hi32.astype(jnp.float64)).astype(jnp.float32)
-        out = (oh_flat @ hi32).astype(jnp.float64) + (
-            oh_flat @ lo32
+        out = mm(oh_flat, hi32).astype(jnp.float64) + mm(
+            oh_flat, lo32
         ).astype(jnp.float64)
     else:
-        out = (oh_flat @ table.astype(jnp.float32)).astype(table.dtype)
+        out = mm(oh_flat, table.astype(jnp.float32)).astype(table.dtype)
     return out.reshape(out_shape)
 
 
@@ -122,6 +127,10 @@ def count_matmul_f64(counts: jax.Array, table: jax.Array,
         part = lax.dot_general(
             c32, chunk.astype(jnp.float32),
             (((c32.ndim - 1,), (0,)), ((), ())),
+            # HIGHEST (6-pass bf16) keeps the 12-bit integer chunks exact on
+            # the MXU; DEFAULT truncates them to 8 mantissa bits, which
+            # measured as ~1 mHa, batch-shape-dependent diagonal errors.
+            precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         out = out + part.astype(jnp.float64) * (

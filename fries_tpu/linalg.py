@@ -54,6 +54,51 @@ def qr(mat):
     return jnp.linalg.qr(mat)
 
 
+def lanczos_ground_state(matvec, dim: int, m: int = 80, v0=None,
+                         seed: int = 0, tol: float = 1e-10):
+    """Matrix-free Lanczos ground-state energy of a symmetric operator.
+
+    ``matvec(v) -> H v`` over f64 vectors of length ``dim``.  Full
+    reorthogonalization (the Krylov basis is kept; dim * m floats), so the
+    returned lowest Ritz value is reliable to ~machine precision for
+    well-separated ground states.  Used by the production-scale accuracy
+    anchor (tools/anchor_scale.py) where the FCI space is too large for the
+    dense cross-checks in tests/dense_fci.py but H*v is cheap on the TPU.
+    Returns (e0, ritz_vector_in_original_basis).
+    """
+    rng = np.random.default_rng(seed)
+    if v0 is None:
+        v0 = rng.standard_normal(dim)
+    v = np.asarray(v0, np.float64)
+    v /= np.linalg.norm(v)
+    vs = [v]
+    alphas, betas = [], []
+    for j in range(m):
+        w = np.asarray(matvec(jnp.asarray(vs[-1])), np.float64)
+        a = float(vs[-1] @ w)
+        alphas.append(a)
+        w = w - a * vs[-1]
+        if j > 0:
+            w = w - betas[-1] * vs[-2]
+        # full reorthogonalization (twice is enough)
+        for _ in range(2):
+            for u in vs:
+                w = w - (u @ w) * u
+        b = float(np.linalg.norm(w))
+        if b < tol:
+            break
+        betas.append(b)
+        vs.append(w / b)
+    from scipy.linalg import eigh_tridiagonal
+
+    evals, evecs = eigh_tridiagonal(alphas, betas[: len(alphas) - 1])
+    coeff = evecs[:, 0]
+    ritz = np.zeros(dim)
+    for c, u in zip(coeff, vs):
+        ritz += c * u
+    return float(evals[0]), ritz
+
+
 def subspace_energies(h_traj, d_traj, burn_in: int = 0):
     """Post-process subspace-iteration h/d matrix trajectories into state
     energies: averages the matrices over iterations (after burn_in) and

@@ -363,10 +363,15 @@ def accumulate_best(
     origin_row: int = 0,
     dest_row: int = 0,
 ):
-    """:func:`accumulate`, via the Pallas streaming-merge kernel when the
-    backend compiles it and the row layout fits (single row, or the power
-    step's origin=0/dest=1 two-row layout with packable keys); the XLA
-    sorted-merge otherwise.  Set ``FRIES_NO_PALLAS=1`` to force XLA.
+    """:func:`accumulate`, via the Pallas streaming-merge kernel when
+    ``FRIES_PALLAS=1`` is set, the backend compiles it, and the row layout
+    fits (single row, or the power step's origin=0/dest=1 two-row layout
+    with packable keys); the XLA sorted-merge otherwise.
+
+    Opt-in for now: on-device measurement (2026-08-17, 500k-rung shapes)
+    has the sequential-grid kernel at parity with the XLA path (363 vs
+    365 ms) - it buys nothing yet while adding ~2 min of Mosaic compile,
+    so the default stays on XLA until the merge-path parallel rework wins.
     """
     import os
     from fries_tpu.runtime import pallas_merge as pm
@@ -375,7 +380,7 @@ def accumulate_best(
         (arena.n_vecs, origin_row, dest_row) in ((1, 0, 0), (2, 0, 1))
         and dets.packable(arena.n_words)
     )
-    if fits and not os.environ.get("FRIES_NO_PALLAS") and pm.tpu_supported():
+    if fits and os.environ.get("FRIES_PALLAS") == "1" and pm.tpu_supported():
         return pm.accumulate_pallas(
             arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
         )

@@ -523,6 +523,332 @@ def _f2i_k(x):
 
 
 # ---------------------------------------------------------------------------
+# v2 kernel: lane-oriented per-element state
+#
+# The v1 kernel keeps every per-element vector in (TILE, 1) sublane
+# orientation: one vreg lane out of 128 does work, and every log-step scan
+# shift is a sublane shuffle.  On-device microbenchmarks (2026-08-17) put
+# the v1 tile math at 22 us/step vs 2.5 us/step for its DMA - wholly
+# compute-bound on layout waste.  v2 keeps the same algorithm with all
+# per-element state in (1, TILE) lane orientation (one vreg per vector,
+# lane-axis rolls), computes the two cross-compare matrices directly in
+# the orientation each consumer needs (no mask transposes), and sources
+# placement reductions from sublane-sliced window columns.
+# ---------------------------------------------------------------------------
+
+def _shift_right_lane(x, d, fill):
+    """x[0, p - d] with ``fill`` for p < d, along the lanes of (1, T)."""
+    t = x.shape[1]
+    rolled = jnp.roll(x, d, axis=1)
+    idx = lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    return jnp.where(idx >= d, rolled, fill)
+
+
+def _seg_or_scan_lane(flags, heads):
+    """Inclusive segmented OR-scan of int32 flags over (1, T) lanes."""
+    t = flags.shape[1]
+    f = flags
+    h = heads.astype(jnp.int32)
+    d = 1
+    while d < t:
+        pf = _shift_right_lane(f, d, jnp.int32(0))
+        ph = _shift_right_lane(h, d, jnp.int32(1))
+        f = jnp.where(h > 0, f, f | pf)
+        h = h | ph
+        d *= 2
+    return f
+
+
+def _prefix_or_lane(x):
+    t = x.shape[1]
+    d = 1
+    while d < t:
+        x = x | _shift_right_lane(x, d, jnp.int32(0))
+        d *= 2
+    return x
+
+
+def _seg_sum_scan_lane(vh, vl, heads):
+    """Inclusive segmented compensated f32-pair sum-scan over (1, T)."""
+    t = vh.shape[1]
+    h = heads.astype(jnp.int32)
+    d = 1
+    while d < t:
+        pvh = _shift_right_lane(vh, d, jnp.float32(0))
+        pvl = _shift_right_lane(vl, d, jnp.float32(0))
+        ph = _shift_right_lane(h, d, jnp.int32(1))
+        blocked = h > 0
+        nvh, nvl = _dd_add(vh, vl,
+                           jnp.where(blocked, 0.0, pvh),
+                           jnp.where(blocked, 0.0, pvl))
+        vh = jnp.where(blocked, vh, nvh)
+        vl = jnp.where(blocked, vl, nvl)
+        h = h | ph
+        d *= 2
+    return vh, vl
+
+
+def _cumsum_i32_lane(x):
+    t = x.shape[1]
+    d = 1
+    while d < t:
+        x = x + _shift_right_lane(x, d, jnp.int32(0))
+        d *= 2
+    return x
+
+
+def _count_axis1(x):
+    """Per-sublane lane count via f32, keepdims (see :func:`_count`)."""
+    return jnp.sum(x.astype(jnp.float32), axis=1,
+                   keepdims=True).astype(jnp.int32)
+
+
+def _kernel_v2(scal, a_ref, b_ref, o_ref, stats_ref,
+               awin, bwin, stg, st, ckey, cval, sem_a, sem_b, sem_o):
+    """Same contract as :func:`_kernel`; lane-oriented tile math."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    n_a = scal[0]
+    n_s = scal[1]
+    sent_h = scal[2]
+    sent_l = scal[3]
+    cap = scal[4]
+
+    @pl.when(t == 0)
+    def _init():
+        for i in range(6):
+            st[i] = 0
+        ckey[0] = _I32_MAX
+        ckey[1] = _I32_MAX
+        for i in range(4):
+            cval[i] = 0.0
+
+    ai = st[0]
+    si = st[1]
+    done = (ai >= n_a) & (si >= n_s)
+    is_final = t == n_t - 1
+
+    @pl.when((~done) & (~is_final))
+    def _tile():
+        cp_a = pltpu.make_async_copy(a_ref.at[pl.ds(ai, TILE)], awin, sem_a)
+        cp_b = pltpu.make_async_copy(b_ref.at[pl.ds(si, TILE)], bwin, sem_b)
+        cp_a.start()
+        cp_b.start()
+        cp_a.wait()
+        cp_b.wait()
+
+        # sublane-oriented window columns (direct slices) ...
+        a_kh_s = awin[:, 0:1]
+        a_kl_s = awin[:, 1:2]
+        b_kh_s = bwin[:, 0:1]
+        b_kl_s = bwin[:, 1:2]
+        # ... and the four lane-oriented key relayouts the cross-compares need
+        a_kh_l = a_kh_s.reshape(1, TILE)
+        a_kl_l = a_kl_s.reshape(1, TILE)
+        b_kh_l = b_kh_s.reshape(1, TILE)
+        b_kl_l = b_kl_s.reshape(1, TILE)
+
+        # cross-compare matrices, one per orientation (no transposes):
+        # m_ab[j, i] = B[j] <  A[i]  (B sublane, A lane; A wins ties)
+        # m_ba[i, j] = A[i] <= B[j]  (A sublane, B lane); note ~m_ba = B < A
+        m_ab = (b_kh_s < a_kh_l) | ((b_kh_s == a_kh_l) & (b_kl_s < a_kl_l))
+        m_ba = (a_kh_s < b_kh_l) | ((a_kh_s == b_kh_l) & (a_kl_s <= b_kl_l))
+
+        iota_l = lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        iota_s = lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        pos_a_l = iota_l + _count_axis0(m_ab)     # (1, T): rank of A[i]
+        pos_a_s = iota_s + _count_axis1(~m_ba)    # (T, 1): same, sublanes
+        pos_b_l = iota_l + _count_axis0(m_ba)     # (1, T): rank of B[j]
+        pos_b_s = iota_s + _count_axis1(~m_ab)    # (T, 1)
+
+        a_sent_l = (a_kh_l == sent_h) & (a_kl_l == sent_l)
+        b_sent_l = (b_kh_l == sent_h) & (b_kl_l == sent_l)
+        a_sent_s = (a_kh_s == sent_h) & (a_kl_s == sent_l)
+        b_sent_s = (b_kh_s == sent_h) & (b_kl_s == sent_l)
+        take_a_l = (pos_a_l < TILE) & (~a_sent_l)
+        take_b_l = (pos_b_l < TILE) & (~b_sent_l)
+        take_a_s = (pos_a_s < TILE) & (~a_sent_s)
+        take_b_s = (pos_b_s < TILE) & (~b_sent_s)
+        n_cons_a = _count(take_a_l)
+        n_cons_b = _count(take_b_l)
+
+        # placement masks: source element on sublanes, merged slot on lanes
+        mask_a = (pos_a_s == iota_l) & take_a_s   # (T_src, T_dst)
+        mask_b = (pos_b_s == iota_l) & take_b_s
+
+        def place(mask, col_s, zero):
+            """(T, 1) source column -> (1, T) merged-order lane vector."""
+            return jnp.sum(jnp.where(mask, col_s, zero), axis=0,
+                           keepdims=True, dtype=col_s.dtype)
+
+        iz = jnp.int32(0)
+        ones_s = jnp.ones((TILE, 1), jnp.int32)
+        from_a = place(mask_a, ones_s, iz) > 0
+        from_b = place(mask_b, ones_s, iz) > 0
+        filled = from_a | from_b
+        mk_h = place(mask_a, a_kh_s, iz) + place(mask_b, b_kh_s, iz)
+        mk_l = place(mask_a, a_kl_s, iz) + place(mask_b, b_kl_s, iz)
+        mk_h = jnp.where(filled, mk_h, sent_h)
+        mk_l = jnp.where(filled, mk_l, sent_l)
+        # gate (origin-row) values: arena rows only, pass through
+        mg_h = lax.bitcast_convert_type(place(mask_a, awin[:, 2:3], iz),
+                                        jnp.float32)
+        mg_l = lax.bitcast_convert_type(place(mask_a, awin[:, 3:4], iz),
+                                        jnp.float32)
+        # dest-row values: arena base + spawn contributions
+        md_h = lax.bitcast_convert_type(
+            place(mask_a, awin[:, 4:5], iz) + place(mask_b, bwin[:, 2:3], iz),
+            jnp.float32)
+        md_l = lax.bitcast_convert_type(
+            place(mask_a, awin[:, 5:6], iz) + place(mask_b, bwin[:, 3:4], iz),
+            jnp.float32)
+        m_ini = place(mask_b, bwin[:, 4:5], iz) > 0
+
+        # ---- segment machinery over the merged tile (lane axis) ----
+        pk_h = _shift_right_lane(mk_h, 1, ckey[0])
+        pk_l = _shift_right_lane(mk_l, 1, ckey[1])
+        cv_ok = st[3] > 0
+        first = (mk_h != pk_h) | (mk_l != pk_l)
+
+        is_arena = from_a
+        is_spawn = from_b
+        arena_nz = is_arena & ((mg_h != 0.0) | (mg_l != 0.0))
+        flags_src = (is_arena.astype(jnp.int32) * _F_ARENA
+                     | arena_nz.astype(jnp.int32) * _F_OCC
+                     | (is_spawn & m_ini).astype(jnp.int32) * _F_INISP
+                     | is_spawn.astype(jnp.int32) * _F_SP)
+        fscan = _seg_or_scan_lane(flags_src, first)
+        cont = (_prefix_or_lane(first.astype(jnp.int32)) == 0) & filled
+        inject = cont & cv_ok
+        fscan = jnp.where(inject, fscan | st[4], fscan)
+
+        occ = (fscan & _F_OCC) > 0
+        allowed_sp = is_spawn & (m_ini | occ)
+        contributes = allowed_sp | is_arena
+        nonini_new = _count(is_spawn & (~m_ini) & occ)
+
+        add_h = jnp.where(contributes, md_h, 0.0)
+        add_l = jnp.where(contributes, md_l, 0.0)
+        sv_h, sv_l = _seg_sum_scan_lane(add_h, add_l, first)
+        cc_h, cc_l = _dd_add(sv_h, sv_l, cval[2], cval[3])
+        sv_h = jnp.where(inject, cc_h, sv_h)
+        sv_l = jnp.where(inject, cc_l, sv_l)
+        gv_h, gv_l = _seg_sum_scan_lane(mg_h, mg_l, first)
+        cg_h, cg_l = _dd_add(gv_h, gv_l, cval[0], cval[1])
+        gv_h = jnp.where(inject, cg_h, gv_h)
+        gv_l = jnp.where(inject, cg_l, gv_l)
+
+        # ---- emit completed segments ----
+        nxt_i = jnp.roll(first.astype(jnp.int32), -1, axis=1)
+        is_last = (jnp.where(iota_l == TILE - 1, jnp.int32(0), nxt_i) > 0) \
+            & filled
+        emit = is_last & _seg_alive(fscan)
+        first0_i = first.astype(jnp.int32)[0, 0]
+        flush_i = st[3] * first0_i * _seg_alive_i(st[4])
+        flush = flush_i > 0
+        base = flush_i
+        rank = _cumsum_i32_lane(emit.astype(jnp.int32)) - 1 + base
+        n_emit = rank[0, TILE - 1] + 1
+
+        # staging placement: merged slot on lanes, output row on sublanes
+        s_out = lax.broadcasted_iota(jnp.int32, (STG, 1), 0)
+        mask_e = (rank == s_out) & emit           # (STG, T)
+
+        def eplace(col_l, zero):
+            """(1, T) lane vector -> (STG, 1) staging column."""
+            return jnp.sum(jnp.where(mask_e, col_l, zero), axis=1,
+                           keepdims=True, dtype=col_l.dtype)
+
+        e_kh = eplace(mk_h, iz)
+        e_kl = eplace(mk_l, iz)
+        e_gh = eplace(_f2i_k(gv_h), iz)
+        e_gl = eplace(_f2i_k(gv_l), iz)
+        e_vh = eplace(_f2i_k(sv_h), iz)
+        e_vl = eplace(_f2i_k(sv_l), iz)
+        in_carry = s_out == 0
+        use_c = in_carry & flush
+        efill = (eplace(jnp.ones((1, TILE), jnp.int32), iz) > 0) | use_c
+        e_kh = jnp.where(use_c, ckey[0], e_kh)
+        e_kl = jnp.where(use_c, ckey[1], e_kl)
+        e_gh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[0])), e_gh)
+        e_gl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[1])), e_gl)
+        e_vh = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[2])), e_vh)
+        e_vl = jnp.where(use_c, _f2i_k(jnp.full((STG, 1), cval[3])), e_vl)
+        e_kh = jnp.where(efill, e_kh, sent_h)
+        e_kl = jnp.where(efill, e_kl, sent_l)
+        stg[:, 0:1] = e_kh
+        stg[:, 1:2] = e_kl
+        stg[:, 2:3] = e_gh
+        stg[:, 3:4] = e_gl
+        stg[:, 4:5] = e_vh
+        stg[:, 5:6] = e_vl
+
+        oi = st[2]
+        ok = oi <= cap
+
+        @pl.when(ok)
+        def _write():
+            cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
+                                         sem_o)
+            cp_o.start()
+            cp_o.wait()
+
+        # ---- update SMEM state ----
+        st[0] = ai + n_cons_a
+        st[1] = si + n_cons_b
+        st[2] = oi + n_emit
+        open_vec = jnp.where(
+            (mk_h == sent_h) & (mk_l == sent_l), jnp.int32(0), jnp.int32(1)
+        )
+        lo = open_vec[0, TILE - 1]
+        lo_f = lo.astype(jnp.float32)
+        st[3] = lo
+        st[4] = lo * fscan[0, TILE - 1]
+        st[5] = st[5] + nonini_new
+        ckey[0] = lo * mk_h[0, TILE - 1] + (1 - lo) * _I32_MAX
+        ckey[1] = lo * mk_l[0, TILE - 1] + (1 - lo) * _I32_MAX
+        cval[0] = lo_f * gv_h[0, TILE - 1]
+        cval[1] = lo_f * gv_l[0, TILE - 1]
+        cval[2] = lo_f * sv_h[0, TILE - 1]
+        cval[3] = lo_f * sv_l[0, TILE - 1]
+
+    @pl.when(is_final)
+    def _flush():
+        oi = st[2]
+        flush = (st[3] > 0) & _seg_alive(st[4])
+
+        @pl.when(flush)
+        def _do_flush():
+            kh0 = ckey[0]
+            kl0 = ckey[1]
+            s_out = lax.broadcasted_iota(jnp.int32, (STG, 1), 0)
+            row0 = s_out == 0
+            stg[:, 0:1] = jnp.where(row0, kh0, _I32_MAX)
+            stg[:, 1:2] = jnp.where(row0, kl0, _I32_MAX)
+            for col in range(4):
+                stg[:, 2 + col : 3 + col] = jnp.where(
+                    row0, _f2i_k(jnp.full((STG, 1), cval[col])), jnp.int32(0))
+
+            @pl.when(oi <= cap)
+            def _w():
+                cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG)],
+                                             sem_o)
+                cp_o.start()
+                cp_o.wait()
+            st[2] = oi + 1
+
+        stats_ref[0] = st[2]
+        stats_ref[1] = jnp.minimum(jnp.maximum(st[2] - cap, 0), 1)
+        stats_ref[2] = st[5]
+        for i in range(3, 8):
+            stats_ref[i] = 0
+
+
+# kernel selection: v2 (lane-oriented) unless FRIES_MERGE_KERNEL=v1
+_KERNEL = _kernel if os.environ.get("FRIES_MERGE_KERNEL") == "v1" else _kernel_v2
+
+
+# ---------------------------------------------------------------------------
 # host wrapper
 # ---------------------------------------------------------------------------
 

@@ -46,10 +46,11 @@ def test_compressed_frisys_error_and_efficiency(system):
     den = np.asarray(traj["proj_den"])
     exact_corr = e0 - float(aux["e_ref"])
     out = stats.trajectory_stats(num, den, exact_corr=exact_corr, burn_in=800)
-    # the estimator must be compatible with the exact correlation energy at
-    # a few sigma, with meaningful compression error bars and a finite IAT
-    assert abs(out["error_mEh"]) < 4 * out["two_sigma_mEh"] + 1.0, out
-    assert 0.02 < out["two_sigma_mEh"] < 200.0, out
+    # the estimator must be compatible with the exact correlation energy on
+    # purely statistical grounds - no flat mEh slack that could hide a
+    # systematic bias (measured 2026-08-17: error 2.76 mEh, 2sigma 3.99 mEh)
+    assert abs(out["error_mEh"]) < 3 * out["two_sigma_mEh"], out
+    assert 0.02 < out["two_sigma_mEh"] < 8.0, out
     assert out["iat"] >= 1.0
     assert out["efficiency"] > 0
     # the vector really is compressed (kept nonzeros bounded by the budget)

@@ -8,6 +8,7 @@ systems instead.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -154,3 +155,27 @@ def test_single_element_against_dense(systems):
 def test_doub_element_hermitian(systems):
     ham, dense_h, basis = systems[1]
     np.testing.assert_allclose(dense_h, dense_h.T, atol=1e-12)
+
+
+def test_matmul_precision_guard(systems):
+    """The package must pin jax_default_matmul_precision to HIGHEST.
+
+    On TPU the DEFAULT lowering truncates f32 matmul operands to one bf16
+    pass, which broke every "error-free" one-hot/integer-split kernel in
+    kernels.py: measured 2026-08-17 on v5e, diag_matrel was wrong by ~1 mHa
+    with *batch-shape-dependent* values (XLA picks the truncating MXU
+    lowering only for some shapes).  This guards the config and the
+    batch-vs-single consistency it restores (trivially true on CPU, real
+    on TPU).
+    """
+    assert jax.config.jax_default_matmul_precision == "highest"
+    ham, dense_h, basis = systems[1]
+    occs = np.array(
+        [occ_of_mask(m, ham.n_bits, ham.n_elec) for m in basis], np.int32
+    )
+    batch = np.asarray(mol.diag_matrel(ham, jnp.asarray(occs)))
+    idx = [0, len(basis) // 3, len(basis) - 1]
+    single = np.array(
+        [float(mol.diag_matrel(ham, jnp.asarray(occs[i : i + 1]))[0]) for i in idx]
+    )
+    np.testing.assert_allclose(batch[idx], single, rtol=0, atol=0)
