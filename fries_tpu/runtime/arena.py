@@ -363,15 +363,16 @@ def accumulate_best(
     origin_row: int = 0,
     dest_row: int = 0,
 ):
-    """:func:`accumulate`, via the Pallas streaming-merge kernel when
-    ``FRIES_PALLAS=1`` is set, the backend compiles it, and the row layout
-    fits (single row, or the power step's origin=0/dest=1 two-row layout
-    with packable keys); the XLA sorted-merge otherwise.
+    """:func:`accumulate`, via the Pallas streaming-merge kernel when the
+    backend compiles it and the row layout fits (single row, or the power
+    step's origin=0/dest=1 two-row layout with packable keys); the XLA
+    sorted-merge otherwise.  Set ``FRIES_PALLAS=0`` to force the XLA path.
 
-    Opt-in for now: on-device measurement (2026-08-17, 500k-rung shapes)
-    has the sequential-grid kernel at parity with the XLA path (363 vs
-    365 ms) - it buys nothing yet while adding ~2 min of Mosaic compile,
-    so the default stays on XLA until the merge-path parallel rework wins.
+    Default since the lane-oriented (v2) kernel landed: on-device
+    measurement (tools/bench_merge.py, 2026-08-18, 500k-rung shapes
+    C=2^20/S=7e5) has the v2 kernel at 92.3 ms vs 355.5 ms for the XLA
+    sorted-merge (3.85x), identical sums.  (The sublane-oriented v1 kernel
+    sat at XLA parity, 363 ms - one vreg lane of 128 doing work.)
     """
     import os
     from fries_tpu.runtime import pallas_merge as pm
@@ -380,7 +381,7 @@ def accumulate_best(
         (arena.n_vecs, origin_row, dest_row) in ((1, 0, 0), (2, 0, 1))
         and dets.packable(arena.n_words)
     )
-    if fits and os.environ.get("FRIES_PALLAS") == "1" and pm.tpu_supported():
+    if fits and os.environ.get("FRIES_PALLAS", "1") != "0" and pm.tpu_supported():
         return pm.accumulate_pallas(
             arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
         )

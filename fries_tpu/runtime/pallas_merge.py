@@ -894,7 +894,7 @@ def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
     # emits an i64 grid scalar Mosaic cannot legalize (see tpu_supported).
     with jax.enable_x64(False):
         o_t, stats = pl.pallas_call(
-            _kernel,
+            _KERNEL,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((out_rows, NCOL), jnp.int32),
