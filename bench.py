@@ -32,10 +32,15 @@ import numpy as np  # noqa: E402
 # fixes (f32 stage rows, chunked comp_sub emission).  Measured 2026-08-16
 # (round 2): 1e6 -> 4.28 s/iter = 233.7k nonzeros/s (vs 8.2 s/iter at 500k
 # in round 1); 500k -> 2.03 s/iter = 245.9k nonzeros/s.
+# spawn_cap = matr_samp + small slack: a comp_sub level emits at most n_samp
+# rows (kept subs consume budget units and grid hits partition the remaining
+# budget exactly, compress.py comp_sub), so the old 1.4x pad only inflated
+# every per-sample buffer in the spawner and the merge's spawn stream by 40%.
+# Single-chip exact; the overflow flag aborts loudly if ever violated.
 FULL_LADDER = [
-    ("1e6", 1_000_000, 1_000_000, 1 << 21, 1_400_000, 2, 5),
-    ("500k", 500_000, 500_000, 1 << 20, 700_000, 2, 5),
-    ("125k", 125_000, 125_000, 1 << 18, 180_000, 2, 5),
+    ("1e6", 1_000_000, 1_000_000, 1 << 21, 1_032_768, 2, 5),
+    ("500k", 500_000, 500_000, 1 << 20, 532_768, 2, 5),
+    ("125k", 125_000, 125_000, 1 << 18, 157_768, 2, 5),
 ]
 
 
