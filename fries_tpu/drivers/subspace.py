@@ -251,9 +251,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         key_iter = jax.random.fold_in(state.key, state.iterat)
 
         # ---- 1. normalize by the norm-factor controller ----
-        norms = gsum(jnp.stack(
-            [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
-        ))
+        norms = gsum(
+            jnp.sum(jnp.abs(jnp.where(a.valid[None, :], a.vals, 0.0)), axis=1)
+        )
         do_shift = (state.iterat + 1) % cfg.shift_interval == 0
         nf_new, ln_new = compress.adjust_shift2(
             state.norm_factors, norms, state.last_norms, cfg.shift_damping
@@ -266,12 +266,11 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         # ---- 2. h/d projection matrices ----
         def dots(qkeys, qvals):
             pos, found = dets.lookup_dets(a.keys, qkeys.reshape(-1, ham.n_words))
-            out = []
-            for j in range(t):
-                row = a.vals[j]
-                g = jnp.where(found, row[pos], 0.0).reshape(qkeys.shape[0], -1)
-                out.append(jnp.sum(g * qvals, axis=1))
-            return gsum(jnp.stack(out, axis=1))  # (T_query, T_vec)
+            # one (t, Q*K) row gather for all vector rows at once
+            g = jnp.where(found[None, :], a.vals[:, pos], 0.0).reshape(
+                t, qkeys.shape[0], -1
+            )
+            return gsum(jnp.einsum("jqk,qk->qj", g, qvals))  # (T_query, T_vec)
 
         d_mat = dots(t_keys, t_vals)
         if cfg.lowmem:
@@ -325,12 +324,8 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             m = d_mat - cfg.eps * h_mat
             rinv = jnp.linalg.inv(jnp.linalg.qr(m)[1])
             new_vals = jnp.einsum("kj,kc->jc", rinv, vals)
-            old_norms = gsum(
-                jnp.stack([jnp.sum(jnp.abs(vals[j])) for j in range(t)])
-            )
-            new_norms = gsum(
-                jnp.stack([jnp.sum(jnp.abs(new_vals[j])) for j in range(t)])
-            )
+            old_norms = gsum(jnp.sum(jnp.abs(vals), axis=1))
+            new_norms = gsum(jnp.sum(jnp.abs(new_vals), axis=1))
             scale = old_norms / jnp.maximum(new_norms, 1e-300)
             return new_vals * scale[:, None]
 
@@ -374,9 +369,9 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
 
         # ---- 5. per-vector stochastic multiplication ----
         all_words, all_amps, all_ini, all_rows = [], [], [], []
-        norms_now = gsum(jnp.stack(
-            [jnp.sum(jnp.abs(jnp.where(a.valid, a.vals[j], 0.0))) for j in range(t)]
-        ))
+        norms_now = gsum(
+            jnp.sum(jnp.abs(jnp.where(a.valid[None, :], a.vals, 0.0)), axis=1)
+        )
         overflow = jnp.bool_(False)
         n_ini_rows = []
         for j in range(t):
