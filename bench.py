@@ -112,15 +112,21 @@ def bench_frifull_hh():
 
 
 def bench_frifull_mol():
-    """BASELINE.md required config: frifull_mol, H2O/cc-pVDZ-sized synthetic
-    (exact H application - every connected double per kept det)."""
+    """BASELINE.md required config: frifull_mol, exact H application (every
+    connected excitation per kept det).
+
+    A (14 orb, 6 elec) system: its full FCI space (132 496 dets) fits the
+    arena, so the uncompressed H*v support never overflows - the same
+    regime the reference's frifull H2O runs occupy (H*v support bounded by
+    max_size, frifull_mol.cpp). spawn_rows bounds the candidate buffer to
+    the occupied arena prefix (49k rows x ~1.5k excitations)."""
     from fries_tpu import synth
     from fries_tpu.drivers import frifull, power
 
-    ham = synth.h2o_ccpvdz_like(seed=1)
+    ham = synth.make_system(14, 6, seed=1, scale_two=0.1)
     cfg = power.PowerConfig(
-        eps=0.005, target_nonz=2_000, capacity=1 << 19,
-        target_norm=4_000.0, batch=256,
+        eps=0.005, target_nonz=30_000, capacity=1 << 18,
+        target_norm=60_000.0, batch=4096, spawn_rows=49_152,
     )
     step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
@@ -129,12 +135,14 @@ def bench_frifull_mol():
         run_steps, state, args, 2, 3,
         lambda m: float(np.asarray(m["norm"]).reshape(-1)[-1]),
     )
+    overflow = bool(np.asarray(m["overflow"]).any())
     _emit({
-        "metric": "frifull_mol iterations/sec (H2O-ccpvdz-size synthetic, "
-                  "exact H, 2k kept dets)",
+        "metric": "frifull_mol iterations/sec (14-orb/6-elec synthetic, "
+                  "exact H, 30k kept dets)",
         "value": round(1.0 / sec, 4), "unit": "iters/s", "vs_baseline": 0.0,
         "ms_per_iter": round(sec * 1e3, 1),
         "n_dets_final": int(np.asarray(m["n_dets"]).reshape(-1)[-1]),
+        "overflow": overflow,
     })
 
 

@@ -45,8 +45,8 @@ def main():
             results[name] = json.loads(line)
             print(line)
         else:
-            results[name] = {"error": proc.stderr[-800:]}
-            sys.stderr.write(f"# {name} FAILED\n{proc.stderr[-800:]}\n")
+            results[name] = {"error": proc.stderr[-4000:]}
+            sys.stderr.write(f"# {name} FAILED\n{proc.stderr[-4000:]}\n")
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
     sys.stderr.write(f"# wrote {out_path}\n")

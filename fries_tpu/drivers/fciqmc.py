@@ -64,7 +64,11 @@ def _attempt_parents(n_walk, attempt_cap):
     offsets = exclusive cumsum of per-determinant walker counts; slot k
     belongs to the determinant whose interval contains k.
     """
-    offsets = jnp.cumsum(n_walk) - n_walk
+    # f64 cumsum: integer cumsums at 2^21+ elements lower to a reduce-window
+    # whose scoped-VMEM need exceeds the TPU limit; float cumsums tile fine
+    # and walker totals stay far below 2^53
+    offsets = jnp.cumsum(n_walk.astype(jnp.float64)).astype(n_walk.dtype) \
+        - n_walk
     total = jnp.sum(n_walk)
     slot = jnp.arange(attempt_cap, dtype=n_walk.dtype)
     parent = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1

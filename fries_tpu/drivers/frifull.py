@@ -59,7 +59,12 @@ def build(ham: mol.MolecularHamiltonian, cfg: power.PowerConfig, seed: int,
     from fries_tpu.drivers import frisys as _frisys
 
     diag_fn = _frisys.make_diag_fn(ham, hf_en, spin_parity)
-    step, run_steps = power.make_stepper(spawn_fn, diag_fn, cfg)
+    # per-chunk fused spawn+merge (reference Adder flow control) whenever
+    # chunking is on: the full candidate stream never materializes
+    step, run_steps = power.make_stepper(
+        spawn_fn, diag_fn, cfg,
+        spawn_chunk_fn=spawn_one if cfg.batch else None,
+    )
 
     if spin_parity:
         from fries_tpu.ops import time_reversal as _tr

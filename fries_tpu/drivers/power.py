@@ -44,6 +44,12 @@ class PowerConfig:
     shift_interval: int = 10
     shift_damping: float = 0.05
     batch: int = 0          # chunk size for spawning (0 = whole arena)
+    spawn_rows: int = 0     # spawn only from the first spawn_rows arena
+                            # slots (valid entries are a sorted prefix, so
+                            # this is exact while n_used <= spawn_rows -
+                            # enforced via the overflow flag). Bounds the
+                            # candidate buffer of exact-H spawners at
+                            # capacity >> kept sizes (0 = whole arena).
     # multi-chip: set axis_name/n_shards when running under shard_map over a
     # 1-D mesh; exchange_cap is the per-destination bucket capacity of the
     # all-to-all spawn exchange (0 = auto)
@@ -73,7 +79,7 @@ def fresh_state(a: ar.Arena, seed: int) -> PowerState:
 
 
 def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
-                 estimator: str = "before_after"):
+                 estimator: str = "before_after", spawn_chunk_fn=None):
     """Build (step, run_steps) jitted for one model.
 
     step(state, num_keys, num_vals, den_keys, den_vals, ref_key):
@@ -82,6 +88,15 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
       estimator="direct": proj_num = <num|v_new>, proj_den = <den|v_new>
         evaluated on the post-death uncompressed vector (frisys timing,
         frisys_mol.cpp:517-520).
+
+    ``spawn_chunk_fn`` (optional, exact-H drivers): a per-chunk spawner with
+    the same signature as spawn_fn.  When given (and the run is not
+    sharded), the step spawns AND merges chunk by chunk inside one scan -
+    the flow-controlled "fill the Adder, flush, repeat" of the reference
+    (molecule.cpp:602-608) - so the full H*v candidate stream (kept_dets x
+    n_excitations rows, gigabytes at production sizes) never materializes.
+    Chunk-by-chunk merging is exact: the initiator rule gates against the
+    pass-through origin row, which no chunk modifies.
     """
     assert estimator in ("before_after", "direct")
     axis = cfg.axis_name
@@ -106,42 +121,92 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
         key_spawn, key_vec = jax.random.split(key_iter)
         vals0 = jnp.where(a.valid, a.vals[0], 0.0)
 
-        den_before = gsum(ar.dot(a, den_keys, den_vals, row=0))
+        spawn_over = jnp.bool_(False)
+        if cfg.spawn_rows and cfg.spawn_rows < a.capacity:
+            r = cfg.spawn_rows
+            spawn_over = a.n_used[0] > r
+            s_keys, s_vals = a.keys[:r], vals0[:r]
+        else:
+            r = a.capacity
+            s_keys, s_vals = a.keys, vals0
 
-        flat_words, flat_amps, flat_ini = spawn_fn(
-            a.keys, vals0, -eps, key_spawn
-        )
-        flat_words = jnp.where(
-            (flat_amps != 0)[:, None],
-            flat_words,
-            jnp.asarray(dets.invalid_det(a.n_words)),
-        )
+        if spawn_chunk_fn is not None and not (axis and cfg.n_shards > 1):
+            # fused spawn+merge flow control (exact-H drivers)
+            batch = cfg.batch or r
+            n_chunks = -(-r // batch)
+            pad = n_chunks * batch - r
+            if pad:
+                s_keys = jnp.concatenate(
+                    [s_keys, jnp.tile(dets.invalid_det(a.n_words), (pad, 1))]
+                )
+                s_vals = jnp.concatenate(
+                    [s_vals, jnp.zeros((pad,), s_vals.dtype)]
+                )
+            keys_c = s_keys.reshape(n_chunks, batch, -1)
+            vals_c = s_vals.reshape(n_chunks, batch)
 
-        exch_overflow = jnp.bool_(False)
-        if axis and cfg.n_shards > 1:
-            # route spawns to their owning shards over ICI
-            # (replaces Adder::perform_add, vec_utils.hpp:991-1019)
-            cap = cfg.exchange_cap or max(
-                1, 2 * flat_amps.shape[0] // cfg.n_shards
-            )
-            target = sh.shard_of_words(flat_words, cfg.n_shards)
-            received, exch_overflow = sh.exchange(
-                {
-                    "keys": flat_words,
-                    "amps": flat_amps,
-                    "ini": flat_ini,
-                },
-                target, cfg.n_shards, cap, axis,
-            )
-            flat_words = received["keys"]
-            flat_amps = jnp.where(
-                ~dets.is_invalid(flat_words), received["amps"], 0.0
-            )
-            flat_ini = received["ini"]
+            def merge_chunk(carry, xs):
+                a_c, ovf, nonini = carry
+                i, kc, vc = xs
+                w, amp, ini = spawn_chunk_fn(
+                    kc, vc, -eps, jax.random.fold_in(key_spawn, i)
+                )
+                w = jnp.where(
+                    (amp != 0)[:, None], w,
+                    jnp.asarray(dets.invalid_det(a.n_words)),
+                )
+                a_c, st = ar.accumulate_best(
+                    a_c, w, amp, ini, origin_row=0, dest_row=1
+                )
+                return (
+                    a_c, ovf | st["overflow"],
+                    nonini + st["nonini_occ_add"],
+                ), None
 
-        a2, stats = ar.accumulate_best(
-            a, flat_words, flat_amps, flat_ini, origin_row=0, dest_row=1,
-        )
+            (a2, m_over, m_nonini), _ = lax.scan(
+                merge_chunk,
+                (a, jnp.bool_(False), jnp.int32(0)),
+                (jnp.arange(n_chunks, dtype=jnp.int32), keys_c, vals_c),
+            )
+            stats = {"overflow": m_over, "nonini_occ_add": m_nonini}
+            exch_overflow = jnp.bool_(False)
+            flat_words = None
+        else:
+            flat_words, flat_amps, flat_ini = spawn_fn(
+                s_keys, s_vals, -eps, key_spawn
+            )
+        if flat_words is not None:
+            flat_words = jnp.where(
+                (flat_amps != 0)[:, None],
+                flat_words,
+                jnp.asarray(dets.invalid_det(a.n_words)),
+            )
+
+            exch_overflow = jnp.bool_(False)
+            if axis and cfg.n_shards > 1:
+                # route spawns to their owning shards over ICI
+                # (replaces Adder::perform_add, vec_utils.hpp:991-1019)
+                cap = cfg.exchange_cap or max(
+                    1, 2 * flat_amps.shape[0] // cfg.n_shards
+                )
+                target = sh.shard_of_words(flat_words, cfg.n_shards)
+                received, exch_overflow = sh.exchange(
+                    {
+                        "keys": flat_words,
+                        "amps": flat_amps,
+                        "ini": flat_ini,
+                    },
+                    target, cfg.n_shards, cap, axis,
+                )
+                flat_words = received["keys"]
+                flat_amps = jnp.where(
+                    ~dets.is_invalid(flat_words), received["amps"], 0.0
+                )
+                flat_ini = received["ini"]
+
+            a2, stats = ar.accumulate_best(
+                a, flat_words, flat_amps, flat_ini, origin_row=0, dest_row=1,
+            )
 
         # death / cloning + combine (frisys_mol.cpp:487-496); the diagonal is
         # recomputed from the merged keys (no cached matr_el_ column)
@@ -163,6 +228,16 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
         gathered = jnp.where(qfound, new_v[qpos], 0.0)
         den_after = gsum(
             jnp.sum(gathered[n_num : n_num + n_den] * den_vals.astype(jnp.float64))
+        )
+        # pre-multiply trial overlap from the SAME fused lookup: accumulate
+        # passes the origin row through untouched, so a2.vals[0] at merged
+        # positions is exactly the pre-multiply vals0 - no separate
+        # sort-based ar.dot against the old arena needed
+        gathered0 = jnp.where(qfound, a2.vals[0][qpos], 0.0)
+        den_before = gsum(
+            jnp.sum(
+                gathered0[n_num : n_num + n_den] * den_vals.astype(jnp.float64)
+            )
         )
         if estimator == "before_after":
             proj_num = ((1 + eps * state.en_shift) * den_before - den_after) / eps
@@ -229,9 +304,10 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
             # targets (tot_sgn_coh, vec_utils.hpp:537-543)
             "sgn_coh": gsum(stats["nonini_occ_add"]),
             "overflow": (
-                (gsum(stats["overflow"].astype(jnp.int32)) > 0) | exch_overflow
+                (gsum((stats["overflow"] | spawn_over).astype(jnp.int32)) > 0)
+                | exch_overflow
                 if axis
-                else stats["overflow"] | exch_overflow
+                else stats["overflow"] | spawn_over | exch_overflow
             ),
         }
         return (

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fries_tpu import compress, dets
+from fries_tpu import compress, dets, linalg
 from fries_tpu.drivers import frisys
 from fries_tpu.ops import heat_bath as hb
 from fries_tpu.ops import molecule as mol
@@ -322,7 +322,10 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
 
         def restarted(vals):
             m = d_mat - cfg.eps * h_mat
-            rinv = jnp.linalg.inv(jnp.linalg.qr(m)[1])
+            # R^-1 by explicit back-substitution: TPU compiles neither f64
+            # LuDecomposition nor f64 TriangularSolve (invr_inplace,
+            # lapack_wrappers.cpp:90-179)
+            rinv = linalg.inv_r_factor(m)
             new_vals = jnp.einsum("kj,kc->jc", rinv, vals)
             old_norms = gsum(jnp.sum(jnp.abs(vals), axis=1))
             new_norms = gsum(jnp.sum(jnp.abs(new_vals), axis=1))

@@ -40,7 +40,23 @@ def inv(mat):
 
 
 def inv_triangular_upper(mat):
-    return jsl.solve_triangular(mat, jnp.eye(mat.shape[0], dtype=mat.dtype))
+    """Inverse of an upper-triangular matrix by explicit back-substitution.
+
+    Unrolled over the (static, <= ~10) trial count: TPU implements neither
+    f64 LuDecomposition nor f64 TriangularSolve, so jnp.linalg.inv /
+    jsl.solve_triangular fail to compile inside the jitted subspace step;
+    plain elementwise ops + tiny matvecs lower everywhere."""
+    t = mat.shape[0]
+    if t == 1:
+        return 1.0 / mat
+    inv_diag = 1.0 / jnp.diagonal(mat)
+    eye = jnp.eye(t, dtype=mat.dtype)
+    x = jnp.zeros_like(mat)
+    for i in reversed(range(t)):
+        # row i of X: (e_i - R[i, i+1:] @ X[i+1:, :]) / R[i, i]
+        acc = eye[i] - mat[i, i + 1:] @ x[i + 1:, :]
+        x = x.at[i].set(acc * inv_diag[i])
+    return x
 
 
 def inv_r_factor(mat):

@@ -380,6 +380,10 @@ def accumulate_best(
     fits = (
         (arena.n_vecs, origin_row, dest_row) in ((1, 0, 0), (2, 0, 1))
         and dets.packable(arena.n_words)
+        # the Pallas wrapper widens both streams to 128 int32 columns
+        # (Mosaic DMA lane alignment); past ~4M spawn rows that staging
+        # buffer outgrows the win - exact-H spawn streams use XLA
+        and spawn_keys.shape[0] <= (1 << 22)
     )
     if fits and os.environ.get("FRIES_PALLAS", "1") != "0" and pm.tpu_supported():
         return pm.accumulate_pallas(

@@ -68,3 +68,27 @@ def test_stochastic_compression_agrees(system):
     block_means = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = block_means.std() / np.sqrt(len(block_means))
     assert abs(e_est - e0) < max(4 * sigma, 0.02), (e_est, e0, sigma)
+
+
+def test_chunked_fused_merge_matches_flat(system):
+    """batch > 0 routes through the fused per-chunk spawn+merge scan
+    (power.make_stepper spawn_chunk_fn, the reference's Adder flow control,
+    molecule.cpp:602-608); trajectories must match the flat path."""
+    ham, _ = system
+    out = {}
+    for batch in (0, 16):
+        cfg = power.PowerConfig(
+            eps=0.05, target_nonz=256, capacity=128, batch=batch,
+        )
+        step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
+        state, traj = run_steps(
+            state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"], 6,
+        )
+        assert not bool(np.asarray(traj["overflow"]).any())
+        out[batch] = (
+            np.asarray(traj["proj_num"]), np.asarray(traj["proj_den"]),
+            np.asarray(traj["norm"]),
+        )
+    for a, b in zip(out[0], out[16]):
+        np.testing.assert_allclose(a, b, rtol=1e-9)
