@@ -126,7 +126,7 @@ def bench_frifull_mol():
     ham = synth.make_system(14, 6, seed=1, scale_two=0.1)
     cfg = power.PowerConfig(
         eps=0.005, target_nonz=30_000, capacity=1 << 18,
-        target_norm=60_000.0, batch=4096, spawn_rows=49_152,
+        target_norm=60_000.0, batch=1024, spawn_rows=49_152,
     )
     step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
@@ -156,8 +156,8 @@ def bench_fciqmc():
     ham = synth.n2_ccpvdz_like(seed=2)
     cfg = fciqmc.FciqmcConfig(
         eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
-        attempt_cap=1 << 23, distribution="HB", integer_walkers=True,
-        init_thresh=3.0,
+        attempt_cap=1 << 23, attempt_chunk=1 << 20, distribution="HB",
+        integer_walkers=True, init_thresh=3.0,
     )
     step, run_steps, state, aux = fciqmc.build(ham, cfg, seed=0)
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],

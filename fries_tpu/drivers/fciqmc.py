@@ -42,6 +42,12 @@ class FciqmcConfig:
     shift_damping: float = 0.05
     distribution: str = "NU"   # "NU" | "HB"
     integer_walkers: bool = True
+    attempt_chunk: int = 0  # chunk the per-attempt sampling pipeline via
+                            # lax.map (bounds the (attempt_cap, n_elec/
+                            # n_orb)-shaped sampler temporaries, which
+                            # exhaust HBM at attempt_cap >= 2^23; 0 = one
+                            # pass). Statistics are identical; the RNG
+                            # stream layout differs from the unchunked path.
     # multi-chip: hash-sharded walker populations under shard_map
     axis_name: str | None = None
     n_shards: int = 1
@@ -127,68 +133,112 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         parent, valid, total = _attempt_parents(n_walk_int, a_cap)
         overflow = total > a_cap
 
-        p_occ = arena_occ[parent]
-        p_keys = a.keys[parent]
-        p_bits = dets.unpack_bits(p_keys, 2 * n_orb)
-        counts = hb.unocc_symm_counts(n_orb, n_elec, symm, symm_counts, p_occ)
-
-        u = jax.random.uniform(k_split, (a_cap,), dtype=jnp.float64)
-        is_doub = u < p_doub
-
         kd, ks = jax.random.split(k_spawn)
-        if cfg.distribution == "HB":
-            d = nu.sample_doubles_heat_bath(
-                kd, tens, n_orb, n_elec, symm, lookup, p_occ, p_bits
+
+        def attempt_block(par, vald, ksp_c, kd_c, ks_c, kr_c):
+            """Sample + weight one block of spawn attempts (the per-walker
+            loop body, fciqmc_mol.cpp:331-402, batched)."""
+            n_att = par.shape[0]
+            p_occ = arena_occ[par]
+            p_keys = a.keys[par]
+            p_bits = dets.unpack_bits(p_keys, 2 * n_orb)
+            counts = hb.unocc_symm_counts(
+                n_orb, n_elec, symm, symm_counts, p_occ
             )
+
+            u = jax.random.uniform(ksp_c, (n_att,), dtype=jnp.float64)
+            is_doub = u < p_doub
+
+            if cfg.distribution == "HB":
+                d = nu.sample_doubles_heat_bath(
+                    kd_c, tens, n_orb, n_elec, symm, lookup, p_occ, p_bits
+                )
+            else:
+                d = nu.sample_doubles(
+                    kd_c, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts
+                )
+            s = nu.sample_singles(
+                ks_c, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts
+            )
+
+            # per-walker weight is 1 in both variants: the attempt count is
+            # the stochastically rounded population (fciqmc_mol.cpp:346,
+            # fciqmc_fp_mol.cpp:342)
+            per_attempt = jnp.where(vald, 1.0, 0.0)
+
+            dmel = mol.doub_matr_el(ham, d["o1"], d["o2"], d["u1"], d["u2"])
+            damp_mag = eps * dmel / d["prob"] / p_doub * per_attempt
+            dwords, dsign = dets.double_parity(
+                p_keys, d["o1"], d["o2"], d["u1"], d["u2"]
+            )
+            dmask = vald & is_doub & d["valid"]
+
+            smel = mol.sing_matr_el(ham, s["o"], s["u"], p_occ)
+            samp_mag = eps * smel / s["prob"] / (1 - p_doub) * per_attempt
+            swords, ssign = dets.single_parity(p_keys, s["o"], s["u"])
+            smask = vald & ~is_doub & s["valid"]
+
+            mag = jnp.where(dmask, damp_mag, jnp.where(smask, samp_mag, 0.0))
+            sign_f = jnp.where(dmask, dsign, ssign).astype(jnp.float64)
+            spawn_val = -mag * sign_f * walk_sign[par]
+            if cfg.integer_walkers:
+                # unbiased integer rounding of each spawn (fciqmc_mol.cpp:377)
+                rounded = compress.round_binomially(
+                    kr_c, jnp.abs(spawn_val), jnp.ones((n_att,), jnp.int32)
+                ).astype(jnp.float64)
+                spawn_val = jnp.sign(spawn_val) * rounded
+            else:
+                # fp variant: spawns below 0.01 are stochastically rounded to
+                # integers, larger spawns keep their float value
+                # (fciqmc_fp_mol.cpp:383-387)
+                small = jnp.abs(spawn_val) < 0.01
+                rounded = compress.round_binomially(
+                    kr_c, jnp.abs(spawn_val), jnp.ones((n_att,), jnp.int32)
+                ).astype(jnp.float64)
+                spawn_val = jnp.where(
+                    small, jnp.sign(spawn_val) * rounded, spawn_val
+                )
+
+            new_words = jnp.where(dmask[:, None], dwords, swords)
+            new_words = jnp.where(
+                (spawn_val != 0)[:, None],
+                new_words,
+                jnp.asarray(dets.invalid_det(ham.n_words)),
+            )
+            ini = n_walk[par] > cfg.init_thresh
+            return new_words, spawn_val, ini
+
+        att_chunk = cfg.attempt_chunk
+        if att_chunk and att_chunk < a_cap:
+            n_ac = -(-a_cap // att_chunk)
+            assert n_ac * att_chunk == a_cap, \
+                "attempt_chunk must divide attempt_cap"
+
+            def one(args):
+                i, par, vald = args
+                return attempt_block(
+                    par, vald,
+                    jax.random.fold_in(k_split, i),
+                    jax.random.fold_in(kd, i),
+                    jax.random.fold_in(ks, i),
+                    jax.random.fold_in(k_round, i),
+                )
+
+            new_words, spawn_val, ini = lax.map(
+                one,
+                (
+                    jnp.arange(n_ac, dtype=jnp.int32),
+                    parent.reshape(n_ac, att_chunk),
+                    valid.reshape(n_ac, att_chunk),
+                ),
+            )
+            new_words = new_words.reshape(a_cap, -1)
+            spawn_val = spawn_val.reshape(a_cap)
+            ini = ini.reshape(a_cap)
         else:
-            d = nu.sample_doubles(
-                kd, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts
+            new_words, spawn_val, ini = attempt_block(
+                parent, valid, k_split, kd, ks, k_round
             )
-        s = nu.sample_singles(ks, n_orb, n_elec, symm, lookup, p_occ, p_bits, counts)
-
-        # per-walker weight is 1 in both variants: the attempt count is the
-        # stochastically rounded population (fciqmc_mol.cpp:346,
-        # fciqmc_fp_mol.cpp:342)
-        per_attempt = jnp.where(valid, 1.0, 0.0)
-
-        dmel = mol.doub_matr_el(ham, d["o1"], d["o2"], d["u1"], d["u2"])
-        damp_mag = eps * dmel / d["prob"] / p_doub * per_attempt
-        dwords, dsign = dets.double_parity(p_keys, d["o1"], d["o2"], d["u1"], d["u2"])
-        dmask = valid & is_doub & d["valid"]
-
-        smel = mol.sing_matr_el(ham, s["o"], s["u"], p_occ)
-        samp_mag = eps * smel / s["prob"] / (1 - p_doub) * per_attempt
-        swords, ssign = dets.single_parity(p_keys, s["o"], s["u"])
-        smask = valid & ~is_doub & s["valid"]
-
-        mag = jnp.where(dmask, damp_mag, jnp.where(smask, samp_mag, 0.0))
-        sign_f = jnp.where(dmask, dsign, ssign).astype(jnp.float64)
-        spawn_val = -mag * sign_f * walk_sign[parent]
-        if cfg.integer_walkers:
-            # unbiased integer rounding of each spawn (fciqmc_mol.cpp:377)
-            rounded = compress.round_binomially(
-                k_round, jnp.abs(spawn_val), jnp.ones((a_cap,), jnp.int32)
-            ).astype(jnp.float64)
-            spawn_val = jnp.sign(spawn_val) * rounded
-        else:
-            # fp variant: spawns below 0.01 are stochastically rounded to
-            # integers, larger spawns keep their float value
-            # (fciqmc_fp_mol.cpp:383-387)
-            small = jnp.abs(spawn_val) < 0.01
-            rounded = compress.round_binomially(
-                k_round, jnp.abs(spawn_val), jnp.ones((a_cap,), jnp.int32)
-            ).astype(jnp.float64)
-            spawn_val = jnp.where(
-                small, jnp.sign(spawn_val) * rounded, spawn_val
-            )
-
-        new_words = jnp.where(dmask[:, None], dwords, swords)
-        new_words = jnp.where(
-            (spawn_val != 0)[:, None],
-            new_words,
-            jnp.asarray(dets.invalid_det(ham.n_words)),
-        )
-        ini = n_walk[parent] > cfg.init_thresh
 
         # death/cloning BEFORE merging spawns (fciqmc_mol.cpp:404-411):
         # spawned walkers land on the post-death populations

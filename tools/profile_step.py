@@ -29,10 +29,10 @@ import jax.numpy as jnp
 
 V5E_HBM_GBS = 819.0  # v5e HBM peak bandwidth
 
-RUNGS = {
-    "1e6": (1_000_000, 1_000_000, 1 << 21, 1_400_000),
-    "500k": (500_000, 500_000, 1 << 20, 700_000),
-    "125k": (125_000, 125_000, 1 << 18, 180_000),
+RUNGS = {  # matches bench.py FULL_LADDER (spawn_cap = matr_samp + slack)
+    "1e6": (1_000_000, 1_000_000, 1 << 21, 1_032_768),
+    "500k": (500_000, 500_000, 1 << 20, 532_768),
+    "125k": (125_000, 125_000, 1 << 18, 157_768),
 }
 
 
