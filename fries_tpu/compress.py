@@ -721,9 +721,9 @@ def comp_sub(
 
     # ---- output-slot inversion (optionally chunked over slots) ----
     col_ids = jnp.arange(k, dtype=jnp.int32)
-    # one consolidated per-parent payload: a single (n, 8) f64 row gather per
-    # chunk replaces eight separate scalar gathers (each costs a full
-    # gather pass; g_start/offsets are exact in f64 up to 2^53)
+    # one consolidated per-parent payload: a single row gather per chunk
+    # replaces eight separate scalar gathers (each costs a full gather pass;
+    # g_start/offsets are exact in f64 up to 2^53)
     payload = jnp.stack(
         [
             offsets.astype(jnp.float64),
@@ -737,6 +737,21 @@ def comp_sub(
         ],
         axis=1,
     )
+    # pack payload + w_sub row into ONE per-parent row so the emission does a
+    # single row gather per chunk (gather cost on TPU is ~per row fetched,
+    # not per lane; two gathers of the same M rows cost twice one)
+    if cdtype == jnp.float32:
+        pay_lanes = 16
+        packed = jnp.concatenate(
+            [
+                lax.bitcast_convert_type(payload, jnp.float32).reshape(n, 16),
+                w_sub,
+            ],
+            axis=1,
+        )
+    else:
+        pay_lanes = 8
+        packed = jnp.concatenate([payload, w_sub], axis=1)
 
     def emit(slot):
         valid = slot < total
@@ -747,7 +762,13 @@ def comp_sub(
             offsets, slot, side="right", method="sort"
         ).astype(jnp.int32) - 1
         parent = jnp.clip(parent, 0, n - 1)
-        pay = payload[parent]                           # (M', 8)
+        prow = packed[parent]                           # (M', pay + K)
+        if cdtype == jnp.float32:
+            pay = lax.bitcast_convert_type(
+                prow[:, :16].reshape(-1, 8, 2), jnp.float64
+            )
+        else:
+            pay = prow[:, :8]
         p_offset = pay[:, 0].astype(jnp.int32)
         p_kept_counts = pay[:, 1].astype(jnp.int32)
         p_g_start = pay[:, 2]
@@ -760,7 +781,7 @@ def comp_sub(
         r = slot - p_offset
         is_kept_emit = r < p_kept_counts
 
-        w_rows = w_sub[parent]                          # (M', K) cdtype
+        w_rows = prow[:, pay_lanes:]                    # (M', K) cdtype
         # keep masks recomputed from the scalar final threshold - no second
         # (M', K) gather
         keep_rows = (w_rows > w_floor) & (w_rows >= thr_f)

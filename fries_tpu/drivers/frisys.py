@@ -159,28 +159,41 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         live = parent >= 0
         is_doub = (sub == 0) & live
 
-        # one consolidated (C, E+W) arena payload: occ + bitcast keys fetched
-        # with a single row gather per level
+        # one consolidated (C, E+W) arena payload: occ + bitcast keys,
+        # fetched ONCE at level A and then carried through the per-level
+        # metadata remaps - one row gather per level total instead of
+        # metadata remap + arena re-gather (f64 vals stay out: the TPU x64
+        # rewriter cannot lower f64<->i32 bitcasts)
         from jax import lax as _lax
 
+        n_words = keys.shape[1]
         apay = jnp.concatenate(
             [occ, _lax.bitcast_convert_type(keys, jnp.int32)], axis=1
         )
 
-        def gather_det():
-            row = apay[det_idx]
-            s_occ = row[:, :n_elec]
-            s_keys = _lax.bitcast_convert_type(row[:, n_elec:], jnp.uint32)
+        def unpack_prow(prow):
+            s_occ = prow[:, :n_elec]
+            s_keys = _lax.bitcast_convert_type(
+                prow[:, n_elec : n_elec + n_words], jnp.uint32
+            )
             occ_bits = dets.unpack_bits(s_keys, 2 * n_orb)
             return s_occ, s_keys, occ_bits
 
-        def remap(pidx, live_mask, cols):
-            """One packed row gather for all per-sample metadata columns."""
-            m = jnp.stack(cols, axis=1)[pidx]
-            return [m[:, i] for i in range(len(cols))]
+        def remap(pidx, cols, prow):
+            """One packed row gather for all per-sample metadata columns AND
+            the carried parent payload."""
+            # pin metadata to int32: jnp.sum/take_along promote int32 ->
+            # int64 under x64, and an int64 concat would corrupt the
+            # bitcast key words carried in prow
+            m = jnp.concatenate(
+                [jnp.stack(cols, axis=1).astype(jnp.int32), prow], axis=1
+            )[pidx]
+            nc = len(cols)
+            return [m[:, i] for i in range(nc)], m[:, nc:]
 
         # ---------------- level B: o1 (doubles) / allowed count (singles) ---
-        s_occ, s_keys, occ_bits = gather_det()
+        prow = apay[det_idx]
+        s_occ, s_keys, occ_bits = unpack_prow(prow)
         counts = hb.unocc_symm_counts(
             n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
         )
@@ -208,13 +221,15 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx, d_i = remap(pidx, live, [det_idx, is_doub.astype(jnp.int32)])
+        (det_idx, d_i), prow = remap(
+            pidx, [det_idx, is_doub.astype(jnp.int32)], prow
+        )
         is_doub = (d_i != 0) & live
         o1_idx = jnp.where(is_doub, sub, 0)        # electron slot of o1
         sing_rank = jnp.where(~is_doub & live, sub, 0)  # allowed-electron rank
 
         # ---------------- level C: o2 (doubles) / virtual count (singles) ---
-        s_occ, s_keys, occ_bits = gather_det()
+        s_occ, s_keys, occ_bits = unpack_prow(prow)
         counts = hb.unocc_symm_counts(
             n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
         )
@@ -242,15 +257,15 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx, d_i, o1_idx, s_elec = remap(
-            pidx, live, [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec]
+        (det_idx, d_i, o1_idx, s_elec), prow = remap(
+            pidx, [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec], prow
         )
         is_doub = (d_i != 0) & live
         o2_idx = jnp.where(is_doub, sub, 0)
         virt_rank = jnp.where(~is_doub & live, sub, 0)
 
         # ---------------- level D: u1 (doubles) ----------------
-        s_occ, s_keys, occ_bits = gather_det()
+        s_occ, s_keys, occ_bits = unpack_prow(prow)
         o1_orb = kernels.take_along_small(s_occ, o1_idx)
         o2_orb = kernels.take_along_small(s_occ, o2_idx)
         if unnorm:
@@ -272,16 +287,16 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank = remap(
-            pidx, live,
+        (det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank), prow = remap(
+            pidx,
             [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
-             virt_rank],
+             virt_rank], prow,
         )
         is_doub = (d_i != 0) & live
         u1_slot = jnp.where(is_doub, sub, 0)
 
         # ---------------- level E: u2 (doubles) ----------------
-        s_occ, s_keys, occ_bits = gather_det()
+        s_occ, s_keys, occ_bits = unpack_prow(prow)
         o1_orb = kernels.take_along_small(s_occ, o1_idx)
         o2_orb = kernels.take_along_small(s_occ, o2_idx)
         spin1 = o1_orb // n_orb
@@ -312,18 +327,21 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         overflow |= ovf
         live = parent >= 0
         pidx = jnp.where(live, parent, 0)
-        det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank, u1_slot = remap(
-            pidx, live,
-            [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
-             virt_rank, u1_slot],
+        (det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank, u1_slot), prow = (
+            remap(
+                pidx,
+                [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
+                 virt_rank, u1_slot], prow,
+            )
         )
         is_doub = (d_i != 0) & live
         is_sing = (~is_doub) & live
         u2_slot = jnp.where(is_doub, sub, 0)
 
         # ---------------- finalize ----------------
-        s_occ, s_keys, occ_bits = gather_det()
-        sign = jnp.sign(vals[det_idx])
+        s_occ, s_keys, occ_bits = unpack_prow(prow)
+        pval = vals[det_idx]  # one parent-value gather serves sign AND ini
+        sign = jnp.sign(pval)
 
         # doubles
         o1_orb = kernels.take_along_small(s_occ, o1_idx)
@@ -442,7 +460,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             (amps != 0)[:, None], new_words, jnp.asarray(dets.invalid_det(ham.n_words))
         )
         ini_cut = cfg.init_thresh if thresh is None else thresh
-        ini = jnp.abs(vals[det_idx]) >= ini_cut
+        ini = jnp.abs(pval) >= ini_cut
 
         if determ is not None:
             # exact multiplication by the dense H block

@@ -116,8 +116,12 @@ def o2_probs(tens: HeatBathTensors, n_orb: int, n_elec: int, occ, o1_idx):
     same = occ_spin[None, :] == o1_spin[..., None]
     occ_sp = occ % n_orb
     o1_sp = o1_orb % n_orb
-    w_same = kernels.take2_small(tens.d_same, o1_sp, occ_sp)
-    w_diff = kernels.take2_small(tens.d_diff, o1_sp, occ_sp)
+    # one shared row fetch for both tables: the o1 rows of [d_same | d_diff]
+    # ride a single one-hot matmul, then in-row selects by occ_sp
+    cat = jnp.concatenate([tens.d_same, tens.d_diff], axis=1)
+    rows = kernels.take_rows_small(cat, o1_sp)  # (..., 2 n_orb)
+    w_same = kernels.take_along_small(rows[..., None, :n_orb], occ_sp)
+    w_diff = kernels.take_along_small(rows[..., None, n_orb:], occ_sp)
     w = jnp.where(same, w_same, w_diff)
     w = jnp.where(jnp.arange(n_elec)[None, :] == o1_idx[..., None], 0.0, w)
     norm = jnp.sum(w, axis=-1, keepdims=True)
@@ -285,17 +289,33 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
 
     s_denom = jnp.sum(tens.s_tens * n_tot, axis=-1)
 
-    # one wide one-hot matmul per occupied orbital instead of three narrow
-    # ones: rows of [d_same | d_diff | exch_sqrt] fetched together
-    cat = jnp.concatenate([tens.d_same, tens.d_diff, tens.exch_sqrt], axis=1)
+    # ONE wide one-hot matmul per occupied orbital instead of many narrow
+    # ones: rows of [d_same | d_diff | exch_sqrt | symm_sums | s_tens |
+    # exch_norms] fetched together; every o1s/o2s-indexed quantity below is
+    # an in-row select from these two row sets (no further row matmuls)
+    irrep_onehot = (symm[:, None] == jnp.arange(8)[None, :]).astype(jnp.float64)
+    symm_sums = tens.exch_sqrt @ irrep_onehot  # (n_orb, 8) exch row sums
+    cat = jnp.concatenate(
+        [
+            tens.d_same, tens.d_diff, tens.exch_sqrt, symm_sums,
+            tens.s_tens[:, None], tens.exch_norms[:, None],
+        ],
+        axis=1,
+    )
     cat1 = kernels.take_rows_small(cat, o1s)
     cat2 = kernels.take_rows_small(cat, o2s)
     rows_ds1 = cat1[:, :n_orb]
     rows_dd1 = cat1[:, n_orb : 2 * n_orb]
-    rows_o1 = cat1[:, 2 * n_orb :]
+    rows_o1 = cat1[:, 2 * n_orb : 3 * n_orb]
+    ss_o1 = cat1[:, 3 * n_orb : 3 * n_orb + 8]
+    s_tens_o1 = cat1[:, 3 * n_orb + 8]
+    exch_norms_o1 = cat1[:, 3 * n_orb + 9]
     rows_ds2 = cat2[:, :n_orb]
     rows_dd2 = cat2[:, n_orb : 2 * n_orb]
-    rows_o2 = cat2[:, 2 * n_orb :]
+    rows_o2 = cat2[:, 2 * n_orb : 3 * n_orb]
+    ss_o2 = cat2[:, 3 * n_orb : 3 * n_orb + 8]
+    s_tens_o2 = cat2[:, 3 * n_orb + 8]
+    exch_norms_o2 = cat2[:, 3 * n_orb + 9]
 
     n_same1 = jnp.where((o1_spin == 0)[:, None], n_alpha, n_beta)
     n_diff1 = jnp.where((o1_spin == 0)[:, None], n_beta, n_alpha)
@@ -304,45 +324,40 @@ def norm_weight(tens: HeatBathTensors, n_orb, n_elec, symm, lookup,
 
     d1_denom = jnp.sum(rows_ds1 * n_same1 + rows_dd1 * n_diff1, axis=-1)
     d2_denom = jnp.sum(rows_ds2 * n_same2 + rows_dd2 * n_diff2, axis=-1)
-    e1_virt = kernels.take_small(tens.exch_norms, o1s) - jnp.sum(
-        rows_o1 * n_same1, axis=-1
-    )
-    e2_virt = kernels.take_small(tens.exch_norms, o2s) - jnp.sum(
-        rows_o2 * n_same2, axis=-1
-    )
+    e1_virt = exch_norms_o1 - jnp.sum(rows_o1 * n_same1, axis=-1)
+    e2_virt = exch_norms_o2 - jnp.sum(rows_o2 * n_same2, axis=-1)
 
     u1_irrep = kernels.take_small(symm, u1s)
     u2_irrep = kernels.take_small(symm, u2s)
-    # per-irrep row sums of exch_sqrt: (n_orb, 8), one small matmul
-    irrep_onehot = (symm[:, None] == jnp.arange(8)[None, :]).astype(jnp.float64)
-    symm_sums = tens.exch_sqrt @ irrep_onehot
-
-    # stacked e_symm: rows (o2,g2,u1), (o1,g2,u1), (o2,g1,u2), (o1,g1,u2)
-    es_o = jnp.stack([o2s, o1s, o2s, o1s])
-    es_g = jnp.stack([u2_irrep, u2_irrep, u1_irrep, u1_irrep])
-    es_x = jnp.stack([u1s, u1s, u2s, u2s])
-    es_tot = kernels.take2_small(symm_sums, es_o, es_g)
-    es_excl = same[None] & (kernels.take_small(symm, es_x) == es_g)
-    es = es_tot - jnp.where(
-        es_excl, kernels.take2_small(tens.exch_sqrt, es_o, es_x), 0.0
-    )
-    e2_symm_no1, e1_symm_no1, e2_symm_no2, e1_symm_no2 = (
-        es[0], es[1], es[2], es[3]
-    )
 
     exo1u1 = kernels.take_along_small(rows_o1, u1s)
     exo1u2 = kernels.take_along_small(rows_o1, u2s)
     exo2u1 = kernels.take_along_small(rows_o2, u1s)
     exo2u2 = kernels.take_along_small(rows_o2, u2s)
 
+    # e_symm terms: the irrep row sums come from the shared cat rows and the
+    # same-irrep exclusion corrections are exactly the exch entries above
+    excl_u1 = same & (u1_irrep == u2_irrep)  # symm[u1] == g(u2) etc.
+    excl_u2 = same & (u2_irrep == u1_irrep)
+    e2_symm_no1 = kernels.take_along_small(ss_o2, u2_irrep) - jnp.where(
+        excl_u1, exo2u1, 0.0
+    )
+    e1_symm_no1 = kernels.take_along_small(ss_o1, u2_irrep) - jnp.where(
+        excl_u1, exo1u1, 0.0
+    )
+    e2_symm_no2 = kernels.take_along_small(ss_o2, u1_irrep) - jnp.where(
+        excl_u2, exo2u2, 0.0
+    )
+    e1_symm_no2 = kernels.take_along_small(ss_o1, u1_irrep) - jnp.where(
+        excl_u2, exo1u2, 0.0
+    )
+
     def safe_div(a, b):
         return a / jnp.where(b == 0, 1.0, b) * (b != 0)
 
-    d_same_12 = kernels.take2_small(tens.d_same, o1s, o2s)
-    s_tens_o1 = kernels.take_small(tens.s_tens, o1s)
-    s_tens_o2 = kernels.take_small(tens.s_tens, o2s)
-    d_diff_12 = kernels.take2_small(tens.d_diff, o1s, o2s)
-    d_diff_21 = kernels.take2_small(tens.d_diff, o2s, o1s)
+    d_same_12 = kernels.take_along_small(rows_ds1, o2s)
+    d_diff_12 = kernels.take_along_small(rows_dd1, o2s)
+    d_diff_21 = kernels.take_along_small(rows_dd2, o1s)
     w_same = d_same_12 / s_denom * (
         safe_div(s_tens_o1, d1_denom * e1_virt)
         * (safe_div(exo1u1 * exo2u2, e2_symm_no1) + safe_div(exo1u2 * exo2u1, e2_symm_no2))

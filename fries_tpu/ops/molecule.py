@@ -95,9 +95,14 @@ def doub_matr_el(ham: MolecularHamiltonian, o1, o2, u1, u2):
     same_sp = _spin(ham, o1) == _spin(ham, o2)
     s0, s1 = _spatial(ham, o1), _spatial(ham, o2)
     s2, s3 = _spatial(ham, u1), _spatial(ham, u2)
-    coul = ham.eris[s0, s1, s2, s3]
-    exch = ham.eris[s0, s1, s3, s2]
-    return coul - jnp.where(same_sp, exch, 0.0)
+    # one flat 1-D gather for Coulomb AND exchange: a single gather pass of
+    # 2B elements instead of two 4-operand gathers (each pays the full
+    # per-element scalar-gather latency on TPU)
+    t = ham.tot_orb
+    base = (s0.astype(jnp.int32) * t + s1) * t
+    idx = jnp.stack([(base + s2) * t + s3, (base + s3) * t + s2])
+    g = ham.eris.reshape(-1)[idx]
+    return g[0] - jnp.where(same_sp, g[1], 0.0)
 
 
 def _sing_tables(ham: MolecularHamiltonian):
