@@ -172,6 +172,16 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
             exch_overflow = jnp.bool_(False)
             flat_words = None
         else:
+            # fused-compaction keep bits: the previous step leaves dead rows
+            # (zero compressed value, not ref/protected) in place and the
+            # merge drops them here in the same kernel pass - replacing the
+            # explicit end-of-step arena.compact (vec_utils.hpp:466-478)
+            keep_in = dets.det_eq(a.keys, ref_key[None, :])
+            if protected_keys is not None:
+                ppos_in, pfound_in = ar.lookup(a, protected_keys)
+                keep_in = keep_in | jnp.zeros((a.capacity,), jnp.bool_).at[
+                    jnp.where(pfound_in, ppos_in, a.capacity)
+                ].set(True, mode="drop")
             flat_words, flat_amps, flat_ini = spawn_fn(
                 s_keys, s_vals, -eps, key_spawn
             )
@@ -206,6 +216,7 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
 
             a2, stats = ar.accumulate_best(
                 a, flat_words, flat_amps, flat_ini, origin_row=0, dest_row=1,
+                keep_mask=keep_in,
             )
 
         # death / cloning + combine (frisys_mol.cpp:487-496); the diagonal is
@@ -281,14 +292,23 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
 
         a3 = ar.set_row(ar.set_row(a2, 0, comp_v), 1, jnp.zeros_like(comp_v))
         is_ref = dets.det_eq(a3.keys, ref_key[None, :])
-        a3 = ar.compact(a3, (comp_v != 0) | is_ref | prot)
+        live = (comp_v != 0) | is_ref | prot
+        if spawn_chunk_fn is not None and not (axis and cfg.n_shards > 1):
+            # the chunked exact-H path merges in place without the fused
+            # keep mask (row positions shift per chunk), so it compacts here
+            a3 = ar.compact(a3, live)
+            n_dets_live = gsum(a3.n_used)
+        else:
+            # dead rows stay until the next step's fused merge drops them;
+            # report live determinants directly
+            n_dets_live = gsum(jnp.sum(live, dtype=jnp.int32))
 
         metrics = {
             "proj_num": proj_num,
             "proj_den": proj_den,
             "norm": glob_norm,
             "shift": en_shift,
-            "n_dets": gsum(a3.n_used),
+            "n_dets": n_dets_live,
             # exactly-preserved count (reference nkept.txt, frisys_mol.cpp:506)
             "nkept": jnp.asarray(cfg.target_nonz, jnp.int32) - n_left,
             "n_ini": gsum(

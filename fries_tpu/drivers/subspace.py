@@ -428,7 +428,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         death = 1 - cfg.eps * arena_diag
         dvals = jnp.where(a.valid[None, :], a.vals * death[None, :], 0.0)
         a = ar.Arena(a.keys, dvals, a.n_used)
-        a2, stats = ar.accumulate_multi(a, sw, sa, sr, si)
+        a2, stats = ar.accumulate_multi_best(a, sw, sa, sr, si)
         overflow |= stats["overflow"]
 
         metrics = {

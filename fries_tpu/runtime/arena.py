@@ -362,11 +362,18 @@ def accumulate_best(
     spawn_ini: jax.Array,
     origin_row: int = 0,
     dest_row: int = 0,
+    keep_mask: jax.Array | None = None,
 ):
     """:func:`accumulate`, via the Pallas streaming-merge kernel when the
     backend compiles it and the row layout fits (single row, or the power
     step's origin=0/dest=1 two-row layout with packable keys); the XLA
     sorted-merge otherwise.  Set ``FRIES_PALLAS=0`` to force the XLA path.
+
+    ``keep_mask`` enables fused compaction (drop arena rows with zero
+    origin value, a False mask bit, and no surviving spawns - see
+    ``pallas_merge.accumulate_pallas``).  The XLA fallback realizes the
+    same semantics as an explicit :func:`compact` followed by
+    :func:`accumulate`.
 
     Default since the lane-oriented (v2) kernel landed: on-device
     measurement (tools/bench_merge.py, 2026-08-18, 500k-rung shapes
@@ -387,10 +394,41 @@ def accumulate_best(
     )
     if fits and os.environ.get("FRIES_PALLAS", "1") != "0" and pm.tpu_supported():
         return pm.accumulate_pallas(
-            arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
+            arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row,
+            keep_mask=keep_mask,
         )
+    if keep_mask is not None:
+        arena = compact(arena, (arena.vals[origin_row] != 0) | keep_mask)
     return accumulate(
         arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row
+    )
+
+
+def accumulate_multi_best(
+    arena: Arena,
+    spawn_keys: jax.Array,
+    spawn_vals: jax.Array,
+    spawn_rows: jax.Array,
+    spawn_ini: jax.Array,
+):
+    """:func:`accumulate_multi`, via the multi-row Pallas streaming-merge
+    kernel when the backend compiles it and the layout fits (packable keys,
+    <= 14 value rows, bounded spawn stream); the XLA sorted-merge otherwise.
+    Set ``FRIES_PALLAS=0`` to force the XLA path."""
+    import os
+    from fries_tpu.runtime import pallas_merge as pm
+
+    fits = (
+        arena.n_vecs <= 14
+        and dets.packable(arena.n_words)
+        and spawn_keys.shape[0] <= (1 << 22)
+    )
+    if fits and os.environ.get("FRIES_PALLAS", "1") != "0" and pm.tpu_supported():
+        return pm.accumulate_multi_pallas(
+            arena, spawn_keys, spawn_vals, spawn_rows, spawn_ini
+        )
+    return accumulate_multi(
+        arena, spawn_keys, spawn_vals, spawn_rows, spawn_ini
     )
 
 

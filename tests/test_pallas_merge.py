@@ -157,6 +157,70 @@ def test_two_row_power_layout(trial):
             np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("n_rows", [2, 3])
+@pytest.mark.parametrize("trial", range(2))
+def test_multi_row_matches_xla(n_rows, trial):
+    """Per-spawn destination rows (subspace layout) vs accumulate_multi."""
+    rng = np.random.default_rng(60 + 10 * n_rows + trial)
+    capacity = 1024
+    a1, sk, sv, si = _rand_case(
+        rng, 2, capacity, n_occ=400, n_spawn=700, n_universe=800)
+    n = int(np.asarray(a1.n_used)[0])
+    vals = jnp.asarray(rng.standard_normal((n_rows, capacity)))
+    # zero out some entries per row (exercise per-row occupancy gating) and
+    # everything past the used prefix
+    mask = rng.random((n_rows, capacity)) < 0.25
+    vals = jnp.where(jnp.asarray(mask), 0.0, vals)
+    vals = jnp.where(jnp.arange(capacity)[None, :] < n, vals, 0.0)
+    a = arena_mod.Arena(keys=a1.keys, vals=vals, n_used=a1.n_used)
+    srows = jnp.asarray(
+        rng.integers(0, n_rows, size=sv.shape[0]), jnp.int32)
+    ref, rstats = arena_mod.accumulate_multi(a, sk, sv, srows, si)
+    got, gstats = pallas_merge.accumulate_multi_pallas(
+        a, sk, sv, srows, si, interpret=True)
+    assert bool(gstats["overflow"]) == bool(rstats["overflow"])
+    assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
+    assert int(got.n_used[0]) == int(ref.n_used[0])
+    rvalid = np.nonzero(~np.asarray(dets.is_invalid(ref.keys)))[0]
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[rvalid], np.asarray(ref.keys)[rvalid])
+    for row in range(n_rows):
+        np.testing.assert_allclose(
+            np.asarray(got.vals[row])[rvalid],
+            np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fused_compaction_matches_compact_then_accumulate(trial):
+    """keep_mask drop-dead mode == arena.compact followed by accumulate."""
+    rng = np.random.default_rng(80 + trial)
+    capacity = 1024
+    a1, sk, sv, si = _rand_case(
+        rng, 2, capacity, n_occ=400, n_spawn=700, n_universe=800)
+    # two-row power layout; many dead rows (gate == 0), a few protected
+    a = arena_mod.Arena(
+        keys=a1.keys,
+        vals=jnp.concatenate([a1.vals, jnp.zeros_like(a1.vals)]),
+        n_used=a1.n_used)
+    keep = jnp.asarray(rng.random(capacity) < 0.05)
+    ref_in = arena_mod.compact(a, (a.vals[0] != 0) | keep)
+    ref, rstats = arena_mod.accumulate(ref_in, sk, sv, si,
+                                       origin_row=0, dest_row=1)
+    got, gstats = pallas_merge.accumulate_pallas(
+        a, sk, sv, si, origin_row=0, dest_row=1, keep_mask=keep,
+        interpret=True)
+    assert bool(gstats["overflow"]) == bool(rstats["overflow"])
+    assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
+    assert int(got.n_used[0]) == int(ref.n_used[0])
+    rvalid = np.nonzero(~np.asarray(dets.is_invalid(ref.keys)))[0]
+    np.testing.assert_array_equal(
+        np.asarray(got.keys)[rvalid], np.asarray(ref.keys)[rvalid])
+    for row in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got.vals[row])[rvalid],
+            np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
+
+
 def test_key_roundtrip():
     rng = np.random.default_rng(11)
     for w in (1, 2):
