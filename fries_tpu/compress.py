@@ -739,18 +739,13 @@ def comp_sub(
     )
     # pack payload + w_sub row into ONE per-parent row so the emission does a
     # single row gather per chunk (gather cost on TPU is ~per row fetched,
-    # not per lane; two gathers of the same M rows cost twice one)
-    if cdtype == jnp.float32:
-        pay_lanes = 16
-        packed = jnp.concatenate(
-            [
-                lax.bitcast_convert_type(payload, jnp.float32).reshape(n, 16),
-                w_sub,
-            ],
-            axis=1,
-        )
-    else:
-        pay_lanes = 8
+    # not per lane; two gathers of the same M rows cost twice one).  Only for
+    # f64 sub-weights: the f32 variant would need an f32<->f64 bitcast to
+    # carry the payload in f32 lanes, which the TPU X64 rewriter cannot lower
+    # ("bitcast-convert u64[...,8,2] not implemented"), so f32 keeps two
+    # gathers (one f64 payload row + one f32 w_sub row)
+    pack_one = cdtype != jnp.float32
+    if pack_one:
         packed = jnp.concatenate([payload, w_sub], axis=1)
 
     def emit(slot):
@@ -762,13 +757,13 @@ def comp_sub(
             offsets, slot, side="right", method="sort"
         ).astype(jnp.int32) - 1
         parent = jnp.clip(parent, 0, n - 1)
-        prow = packed[parent]                           # (M', pay + K)
-        if cdtype == jnp.float32:
-            pay = lax.bitcast_convert_type(
-                prow[:, :16].reshape(-1, 8, 2), jnp.float64
-            )
-        else:
+        if pack_one:
+            prow = packed[parent]                       # (M', 8 + K)
             pay = prow[:, :8]
+            w_rows = prow[:, 8:]                        # (M', K) cdtype
+        else:
+            pay = payload[parent]                       # (M', 8) f64
+            w_rows = w_sub[parent]                      # (M', K) f32
         p_offset = pay[:, 0].astype(jnp.int32)
         p_kept_counts = pay[:, 1].astype(jnp.int32)
         p_g_start = pay[:, 2]
@@ -781,7 +776,6 @@ def comp_sub(
         r = slot - p_offset
         is_kept_emit = r < p_kept_counts
 
-        w_rows = prow[:, pay_lanes:]                    # (M', K) cdtype
         # keep masks recomputed from the scalar final threshold - no second
         # (M', K) gather
         keep_rows = (w_rows > w_floor) & (w_rows >= thr_f)
