@@ -156,8 +156,8 @@ def bench_fciqmc():
     ham = synth.n2_ccpvdz_like(seed=2)
     cfg = fciqmc.FciqmcConfig(
         eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
-        attempt_cap=1 << 23, attempt_chunk=1 << 20, distribution="HB",
-        integer_walkers=True, init_thresh=3.0,
+        attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 21,
+        distribution="HB", integer_walkers=True, init_thresh=3.0,
     )
     step, run_steps, state, aux = fciqmc.build(ham, cfg, seed=0)
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],

@@ -453,6 +453,88 @@ def piv_select_tree(key: jax.Array, p: jax.Array) -> jax.Array:
     return sel
 
 
+def piv_select_tree_2d(key: jax.Array, p: jax.Array) -> jax.Array:
+    """Pivotal 0/1 selection over a (N, K) probability grid.
+
+    Pivotal sampling is unbiased under ANY duel order (Deville-Tille;
+    reference piv_samp_serial passes the residual sequentially,
+    compress_utils.cpp:390-527), so the duels here pair columns within each
+    row first - vectorized lane-axis rounds with scatter-free bitfield
+    marking of finalized selections - and the per-row residuals then duel
+    across rows through :func:`piv_select_tree` (whose scatters total N
+    elements instead of N*K).  Marginals are exactly E[sel] = p, and the
+    total selected is floor(sum p) or ceil(sum p), same as the 1-D tree.
+
+    Returns a (N, K) bool mask.
+    """
+    n, k = p.shape
+    lev_k = max(1, int(np.ceil(np.log2(max(k, 2)))))
+    kpow = 1 << lev_k
+    nw = -(-kpow // 32)  # selection bitfield words per row
+    pr = jnp.zeros((n, kpow), jnp.float64).at[:, :k].set(p.astype(jnp.float64))
+    idx = jnp.broadcast_to(
+        jnp.arange(kpow, dtype=jnp.int32)[None, :], (n, kpow)
+    )
+    selbits = [jnp.zeros((n,), jnp.uint32) for _ in range(nw)]
+
+    def mark(bits, fin):
+        """OR one-hot column masks of ``fin`` (kpow = none) into the words."""
+        f32w = (fin >> 5).astype(jnp.int32)
+        onebit = jnp.left_shift(
+            jnp.uint32(1), (fin & 31).astype(jnp.uint32)
+        )
+        for w in range(nw):
+            hits = jnp.where(f32w == w, onebit, jnp.uint32(0))
+            red = jax.lax.reduce(
+                hits, jnp.uint32(0), jax.lax.bitwise_or, (1,)
+            ) if fin.ndim == 2 else hits
+            bits[w] = bits[w] | red
+        return bits
+
+    for lev in range(lev_k):
+        m = kpow >> (lev + 1)
+        pa, pb = pr[:, 0::2], pr[:, 1::2]
+        ia, ib = idx[:, 0::2], idx[:, 1::2]
+        u = jax.random.uniform(
+            jax.random.fold_in(key, lev), (n, m), dtype=jnp.float64
+        )
+        tot = pa + pb
+        small = tot <= 1.0
+        take_a_small = u * jnp.maximum(tot, 1e-300) < pa
+        sel_a_big = u * jnp.maximum(2.0 - tot, 1e-300) < (1.0 - pb)
+        new_p = jnp.where(small, tot, tot - 1.0)
+        new_i = jnp.where(
+            small,
+            jnp.where(take_a_small, ia, ib),
+            jnp.where(sel_a_big, ib, ia),
+        )
+        fin = jnp.where(
+            small, jnp.int32(kpow), jnp.where(sel_a_big, ia, ib)
+        )
+        selbits = mark(selbits, fin)
+        pr, idx = new_p, new_i
+
+    # cross-row tournament over the per-row residuals (1-D tree, N scatters)
+    p_res = pr[:, 0]
+    col_res = idx[:, 0]
+    sel_rows = piv_select_tree(jax.random.fold_in(key, 997), p_res)
+    selbits = mark(selbits, jnp.where(sel_rows, col_res, jnp.int32(kpow)))
+
+    colids = jnp.arange(k, dtype=jnp.int32)
+    sel = jnp.zeros((n, k), jnp.bool_)
+    for w in range(nw):
+        in_word = (colids >> 5) == w
+        bits = (
+            jnp.right_shift(
+                selbits[w][:, None],
+                (colids & 31).astype(jnp.uint32)[None, :],
+            )
+            & jnp.uint32(1)
+        ) > 0
+        sel = sel | (in_word[None, :] & bits)
+    return sel
+
+
 def piv_comp_shard(key, vals: jax.Array, keep: jax.Array, n_budget, loc_norm):
     """Pivotal resampling of one shard's non-preserved elements against its
     own budget (the per-rank stage of piv_comp_parallel,
@@ -471,7 +553,14 @@ def piv_comp_shard(key, vals: jax.Array, keep: jax.Array, n_budget, loc_norm):
     cap_keep, n_left, cap_norm = find_preserve(stoch, n_budget)
     unit = jnp.where(n_left > 0, cap_norm / jnp.maximum(n_left, 1), jnp.inf)
     p = jnp.where(cap_keep, 0.0, jnp.minimum(stoch / unit, 1.0))
-    selected = piv_select_tree(key, p)
+    m = p.shape[0]
+    if m % 128 == 0 and m >= 256:
+        # blocked duel order (unbiased for any order): lane-axis rounds
+        # within 128-wide blocks, then a cross-block tree - scatter volume
+        # drops from m to m/128 elements
+        selected = piv_select_tree_2d(key, p.reshape(-1, 128)).reshape(-1)
+    else:
+        selected = piv_select_tree(key, p)
     out = jnp.where(
         keep | cap_keep,
         vals64,
@@ -905,36 +994,44 @@ def comp_sub_piv(
     tot_norm0 = _gsum(jnp.sum(w_flat, dtype=jnp.float64), axis_name)
     w_floor = jnp.asarray(1e-14 * tot_norm0, cdtype)
 
-    # seeded greedy preserve over the flattened items (all cost 1)
+    # seeded greedy preserve over the flattened items (all cost 1); the
+    # thresholds descend monotonically, so the final greedy set is exactly
+    # {w >= thr_final} - carry the scalar threshold through the fixpoint
+    # instead of the (N, Kp) mask (same structure as comp_sub's loop)
     t_est = _preserve_threshold_seed(
         [(w_flat, w_flat, None)], n_samp, tot_norm0, axis_name
     )
 
-    def cond(state):
-        _, n_added, rounds = state
-        return (n_added > 0) & (rounds < max_rounds)
-
-    def body(state):
-        keep, _, rounds = state
-        loc_norm = jnp.sum(
-            jnp.where(keep, jnp.asarray(0.0, cdtype), w_flat),
+    def _counts_at(thr):
+        kept_t = (w_flat > w_floor) & (w_flat >= thr)
+        loc = jnp.sum(
+            jnp.where(kept_t, jnp.asarray(0.0, cdtype), w_flat),
             dtype=jnp.float64,
         )
-        glob_norm = _gsum(loc_norm, axis_name)
-        budget = jnp.maximum(
-            n_samp - _gsum(jnp.sum(keep, dtype=jnp.int32), axis_name), 0
-        )
-        thr = jnp.where(
+        return loc, jnp.sum(kept_t, dtype=jnp.int32)
+
+    def cond(state):
+        thr, n_kept, n_prev, rounds = state
+        return (n_kept != n_prev) & (rounds < max_rounds)
+
+    def body(state):
+        thr, n_kept, _, rounds = state
+        loc, used = _counts_at(thr)
+        glob_norm = _gsum(loc, axis_name)
+        used_g = _gsum(used, axis_name)
+        budget = jnp.maximum(n_samp - used_g, 0)
+        new_thr = jnp.where(
             budget > 0,
             glob_norm / jnp.maximum(budget, 1).astype(jnp.float64),
-            jnp.inf,
+            thr,
         )
-        new_keep = keep | ((w_flat > w_floor) & (w_flat >= thr))
-        n_added = _gsum(jnp.sum(new_keep & ~keep, dtype=jnp.int32), axis_name)
-        return new_keep, n_added, rounds + 1
+        new_thr = jnp.minimum(new_thr, thr)
+        return new_thr, used_g, n_kept, rounds + 1
 
-    keep0 = (w_flat > w_floor) & (w_flat >= t_est)
-    keep, _, _ = lax.while_loop(cond, body, (keep0, jnp.int32(1), jnp.int32(0)))
+    thr_f, _, _, _ = lax.while_loop(
+        cond, body, (t_est, jnp.int32(-1), jnp.int32(-2), jnp.int32(0))
+    )
+    keep = (w_flat > w_floor) & (w_flat >= thr_f)
 
     rem = jnp.where(keep, jnp.asarray(0.0, cdtype), w_flat)
     loc_norm = jnp.sum(rem, dtype=jnp.float64)
@@ -957,11 +1054,14 @@ def comp_sub_piv(
         my_budget = n_grid
         shard_key = key
     p = jnp.minimum(
-        rem.astype(jnp.float64).reshape(-1)
+        rem.astype(jnp.float64)
         / jnp.where(my_budget > 0, loc_norm / jnp.maximum(my_budget, 1), jnp.inf),
         1.0,
     )
-    sel = piv_select_tree(shard_key, p).reshape(n, kp) & (my_budget > 0)
+    # 2-D blocked tournament: within-row lane duels + cross-row tree - the
+    # flat (N*Kp,) tree's finalization scatters (~N*Kp elements) dominated
+    # the pivotal spawner's cost on TPU (~45 ns/scattered element)
+    sel = piv_select_tree_2d(shard_key, p) & (my_budget > 0)
 
     flagged = keep | sel
     f_counts = jnp.sum(flagged, axis=1, dtype=jnp.int32)

@@ -48,6 +48,15 @@ class FciqmcConfig:
                             # exhaust HBM at attempt_cap >= 2^23; 0 = one
                             # pass). Statistics are identical; the RNG
                             # stream layout differs from the unchunked path.
+    spawn_cap: int = 0      # compact the (mostly zero) attempt outputs into
+                            # this many rows before exchange/merge - the
+                            # analogue of the reference's bounded spawn
+                            # buffer (fciqmc_mol.cpp:374-386 adds into a
+                            # fixed-size Adder, not one slot per attempt).
+                            # One key sort moves live spawns to a prefix;
+                            # overflow is flagged if they exceed the cap.
+                            # Keeps the merge at spawn_cap rows instead of
+                            # attempt_cap (0 = no compaction).
     # multi-chip: hash-sharded walker populations under shard_map
     axis_name: str | None = None
     n_shards: int = 1
@@ -239,6 +248,29 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             new_words, spawn_val, ini = attempt_block(
                 parent, valid, k_split, kd, ks, k_round
             )
+
+        if cfg.spawn_cap and cfg.spawn_cap < a_cap:
+            # compact live spawns to a bounded buffer: zero-valued attempts
+            # already carry the all-ones sentinel key, so one ascending key
+            # sort moves every live spawn into the prefix; truncation beyond
+            # spawn_cap is flagged (the driver aborts on overflow, matching
+            # the reference's hard Adder capacity)
+            n_w = new_words.shape[1]
+            srt = lax.sort(
+                [dets.pack_key(new_words), spawn_val]
+                + [new_words[:, i] for i in range(n_w)]
+                + [ini.astype(jnp.int32)],
+                num_keys=1, is_stable=False,
+            )
+            n_live = jnp.sum(
+                (~dets.is_invalid(new_words)).astype(jnp.int32)
+            )
+            overflow |= n_live > cfg.spawn_cap
+            spawn_val = srt[1][: cfg.spawn_cap]
+            new_words = jnp.stack(
+                [srt[2 + i][: cfg.spawn_cap] for i in range(n_w)], axis=1
+            )
+            ini = srt[2 + n_w][: cfg.spawn_cap] > 0
 
         # death/cloning BEFORE merging spawns (fciqmc_mol.cpp:404-411):
         # spawned walkers land on the post-death populations

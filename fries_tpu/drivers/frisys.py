@@ -203,7 +203,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         if unnorm:
             # exclude the first electron (o2 must lie below o1); fold the
             # normalization fraction into the value (heat_bathPP.cpp:744-750)
-            excl = jnp.arange(n_elec)[None, :] == 0
+            excl = jnp.arange(n_elec, dtype=jnp.int32)[None, :] == 0
             w = jnp.where(excl, 0.0, probsB * o1_norm_frac[:, None])
             newnorm = jnp.sum(w, axis=-1, keepdims=True)
             probsB = w / jnp.maximum(newnorm, 1e-300)

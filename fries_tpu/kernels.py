@@ -55,7 +55,10 @@ def take_small(table: jax.Array, idx: jax.Array) -> jax.Array:
     """
     t = table.shape[0]
     oh = idx[..., None] == jnp.arange(t, dtype=jnp.int32)
-    return jnp.sum(jnp.where(oh, table, 0), axis=-1)
+    # pin the reduce dtype: jnp.sum would promote i32 -> i64 under x64,
+    # dragging 64-bit one-hots through every consumer (exact regardless -
+    # the reduce selects one entry)
+    return jnp.sum(jnp.where(oh, table, 0), axis=-1, dtype=table.dtype)
 
 
 def take2_small(table: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
@@ -95,7 +98,7 @@ def take_along_small(rows: jax.Array, j: jax.Array) -> jax.Array:
     via one-hot reduce; replaces take_along_axis on the lane axis."""
     k = rows.shape[-1]
     oh = j[..., None] == jnp.arange(k, dtype=jnp.int32)
-    return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1, dtype=rows.dtype)
 
 
 def count_matmul_f64(counts: jax.Array, table: jax.Array,
@@ -153,5 +156,7 @@ def rank_place(values: jax.Array, mask: jax.Array, n_out: int,
     r = jnp.arange(n_out, dtype=jnp.int32)
     hit = mask[..., None, :] & (rank[..., None, :] == r[:, None])
     found = jnp.any(hit, axis=-1)
-    out = jnp.sum(jnp.where(hit, values[..., None, :], 0), axis=-1)
+    out = jnp.sum(
+        jnp.where(hit, values[..., None, :], 0), axis=-1, dtype=values.dtype
+    )
     return jnp.where(found, out, fill).astype(values.dtype)

@@ -123,7 +123,8 @@ def o2_probs(tens: HeatBathTensors, n_orb: int, n_elec: int, occ, o1_idx):
     w_same = kernels.take_along_small(rows[..., None, :n_orb], occ_sp)
     w_diff = kernels.take_along_small(rows[..., None, n_orb:], occ_sp)
     w = jnp.where(same, w_same, w_diff)
-    w = jnp.where(jnp.arange(n_elec)[None, :] == o1_idx[..., None], 0.0, w)
+    w = jnp.where(jnp.arange(n_elec, dtype=jnp.int32)[None, :]
+                  == o1_idx[..., None], 0.0, w)
     norm = jnp.sum(w, axis=-1, keepdims=True)
     return w / jnp.maximum(norm, 1e-300), norm[..., 0]
 
@@ -133,7 +134,7 @@ def o2_probs_half(tens, n_orb, n_elec, occ, o1_idx):
     heat_bathPP.cpp:236-270); returns (probs, norm_fraction) where
     norm_fraction = norm / s_tens[o1]."""
     probs, norm = o2_probs(tens, n_orb, n_elec, occ, o1_idx)
-    below = jnp.arange(n_elec)[None, :] < o1_idx[..., None]
+    below = jnp.arange(n_elec, dtype=jnp.int32)[None, :] < o1_idx[..., None]
     w = probs * jnp.where(below, 1.0, 0.0) * norm[..., None]
     new_norm = jnp.sum(w, axis=-1, keepdims=True)
     o1_orb = jnp.take_along_axis(occ, o1_idx[..., None], axis=-1)[..., 0]
@@ -386,8 +387,10 @@ def unocc_symm_counts(n_orb, n_elec, symm, symm_counts, occ):
     # occupancy histogram per (irrep, spin) by fused compare-reduce instead
     # of a scalar scatter (B, 8, 2, E)
     hit = (
-        (irreps[:, None, None, :] == jnp.arange(8)[None, :, None, None])
-        & (spin[:, None, None, :] == jnp.arange(2)[None, None, :, None])
+        (irreps[:, None, None, :]
+         == jnp.arange(8, dtype=jnp.int32)[None, :, None, None])
+        & (spin[:, None, None, :]
+           == jnp.arange(2, dtype=jnp.int32)[None, None, :, None])
     )
     occ_counts = jnp.sum(hit, axis=-1, dtype=jnp.int32)
     return symm_counts[None, :, None].astype(jnp.int32) - occ_counts

@@ -341,6 +341,44 @@ def test_piv_select_tree_unbiased_and_count(rng):
     assert np.abs(mean - p).max() < 5 / np.sqrt(4000)
 
 
+def test_piv_select_tree_2d_unbiased_and_count(rng):
+    """Blocked (within-row then cross-row) tree-pivotal selection keeps the
+    pivotal guarantees: E[sel] = p elementwise, count in {floor, ceil}(sum p),
+    nothing with p == 0 selected, everything with p == 1 selected."""
+    n, k = 23, 7
+    p = rng.random((n, k)) * 0.5
+    p[rng.random((n, k)) < 0.3] = 0.0
+    p[0, 2] = 1.0
+    pj = jnp.asarray(p)
+    keys = jax.random.split(jax.random.key(19), 4000)
+    sels = np.asarray(
+        jax.jit(jax.vmap(lambda kk: compress.piv_select_tree_2d(kk, pj)))(keys)
+    )
+    tot = p.sum()
+    counts = sels.reshape(4000, -1).sum(1)
+    assert np.all((counts == np.floor(tot)) | (counts == np.ceil(tot)))
+    assert not sels[:, p == 0.0].any()
+    assert sels[:, 0, 2].all()
+    mean = sels.mean(0)
+    assert np.abs(mean - p).max() < 5 / np.sqrt(4000)
+
+
+def test_piv_select_tree_2d_wide_rows(rng):
+    """Rows wider than 32 columns exercise the multi-word bitfield marking."""
+    n, k = 9, 50
+    p = rng.random((n, k)) * 0.25
+    pj = jnp.asarray(p)
+    keys = jax.random.split(jax.random.key(23), 4000)
+    sels = np.asarray(
+        jax.jit(jax.vmap(lambda kk: compress.piv_select_tree_2d(kk, pj)))(keys)
+    )
+    tot = p.sum()
+    counts = sels.reshape(4000, -1).sum(1)
+    assert np.all((counts == np.floor(tot)) | (counts == np.ceil(tot)))
+    mean = sels.mean(0)
+    assert np.abs(mean - p).max() < 5 / np.sqrt(4000)
+
+
 def test_piv_comp_full_pipeline_unbiased(rng):
     """piv_comp (find_preserve + capping + tree pivotal) is unbiased and
     respects the budget (reference piv_comp_parallel semantics)."""

@@ -153,3 +153,36 @@ def test_fciqmc_fp_variant_runs():
     assert not bool(np.asarray(traj["overflow"]).any())
     assert np.isfinite(np.asarray(traj["norm"])).all()
     assert np.asarray(traj["norm"])[-1] > 0
+
+
+def test_fciqmc_spawn_cap_compaction_identical():
+    """Compacting attempt outputs into a bounded spawn buffer happens after
+    all sampling, so (when nothing overflows) the trajectory is bit-identical
+    to the uncompacted path."""
+    ham, _, _ = build_ham(5, 4, seed=13)
+    base = dict(
+        eps=0.02, target_walkers=1500.0, capacity=256, attempt_cap=16384,
+        init_thresh=0.0, distribution="NU", shift_damping=0.25,
+    )
+    cfg_a = fciqmc.FciqmcConfig(**base)
+    cfg_b = fciqmc.FciqmcConfig(**base, spawn_cap=2048)
+    out = []
+    for cfg in (cfg_a, cfg_b):
+        step, run_steps, state, aux = fciqmc.build(
+            ham, cfg, seed=4, init_walkers=1000
+        )
+        state, traj = run_steps(
+            state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"], 60,
+        )
+        assert not bool(np.asarray(traj["overflow"]).any())
+        out.append(traj)
+    np.testing.assert_array_equal(
+        np.asarray(out[0]["norm"]), np.asarray(out[1]["norm"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[0]["proj_num"]), np.asarray(out[1]["proj_num"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[0]["n_dets"]), np.asarray(out[1]["n_dets"])
+    )
