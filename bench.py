@@ -159,15 +159,22 @@ def bench_fciqmc():
         attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 21,
         distribution="HB", integer_walkers=True, init_thresh=3.0,
     )
-    step, run_steps, state, aux = fciqmc.build(ham, cfg, seed=0)
+    # start the population at scale (the reference grows 50M walkers over
+    # ~1e5 CPU iterations, fciqmc_mol.cpp; the bench measures the steady
+    # state, so seed 4M walkers on HF and let ~60 iterations spread them).
+    # Blocks of scan(5): scan(20) programs at these shapes crash the v5e
+    # worker (2026-08-18 bisect: step OK, scan(2) OK, scan(20) kernel
+    # fault) - shorter scans sidestep the miscompile.
+    step, run_steps, state, aux = fciqmc.build(
+        ham, cfg, seed=0, init_walkers=4_000_000.0
+    )
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
             aux["den_vals"], aux["ref_key"])
-    # growth phase to approach the target population
-    for _ in range(30):
-        state, m = run_steps(state, *args, 20)
+    for _ in range(12):
+        state, m = run_steps(state, *args, 5)
     walkers = float(np.asarray(m["norm"]).reshape(-1)[-1])
     sec, m = _time_steady(
-        run_steps, state, args, 1, 20,
+        run_steps, state, args, 1, 5,
         lambda m: float(np.asarray(m["norm"]).reshape(-1)[-1]),
     )
     walkers = float(np.asarray(m["norm"]).reshape(-1)[-1])

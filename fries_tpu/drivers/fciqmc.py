@@ -426,16 +426,21 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
         )
     )
 
+    _cache: dict = {}
+
     def sharded_run(state, nk, nv, dk, dv, rk, n_iter: int):
-        fn = jax.jit(
-            jax.shard_map(
-                lambda s, a1, a2, a3, a4, a5: run_steps(
-                    s, a1, a2, a3, a4, a5, n_iter
-                ),
-                mesh=mesh, in_specs=(sspec,) + repl,
-                out_specs=(sspec, mspec), check_vma=False,
+        # cached per n_iter - a fresh shard_map lambda per call is a new
+        # jit cache key, i.e. a full recompile every invocation
+        if n_iter not in _cache:
+            _cache[n_iter] = jax.jit(
+                jax.shard_map(
+                    lambda s, a1, a2, a3, a4, a5: run_steps(
+                        s, a1, a2, a3, a4, a5, n_iter
+                    ),
+                    mesh=mesh, in_specs=(sspec,) + repl,
+                    out_specs=(sspec, mspec), check_vma=False,
+                )
             )
-        )
-        return fn(state, nk, nv, dk, dv, rk)
+        return _cache[n_iter](state, nk, nv, dk, dv, rk)
 
     return sharded_step, sharded_run, st, aux

@@ -257,13 +257,19 @@ def build_sharded(ham: mol.MolecularHamiltonian, cfg: ObservablesConfig,
                       out_specs=(sspec, mspec), check_vma=False)
     )
 
+    _cache: dict = {}
+
     def sharded_run(state, n_iter: int):
-        fn = jax.jit(
-            jax.shard_map(
-                lambda s: run_steps(s, n_iter), mesh=mesh, in_specs=(sspec,),
-                out_specs=(sspec, mspec), check_vma=False,
+        # cached per n_iter - a fresh shard_map lambda per call is a new
+        # jit cache key, i.e. a full recompile every invocation
+        if n_iter not in _cache:
+            _cache[n_iter] = jax.jit(
+                jax.shard_map(
+                    lambda s: run_steps(s, n_iter), mesh=mesh,
+                    in_specs=(sspec,), out_specs=(sspec, mspec),
+                    check_vma=False,
+                )
             )
-        )
-        return fn(state)
+        return _cache[n_iter](state)
 
     return sharded_step, sharded_run, st, aux

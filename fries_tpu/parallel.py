@@ -122,37 +122,52 @@ def shard_stepper(step, run_steps, mesh: Mesh, axis: str = AXIS):
         )
     )
 
+    # cache the jitted scan wrappers by (n_iter, protected?): rebuilding the
+    # shard_map closure per call defeats jax.jit's cache (a fresh lambda is a
+    # new cache key) and recompiled the WHOLE program on every invocation -
+    # the bench_matrix subsp rung measured 67 s/iter that was ~99% recompile
+    _cache: dict = {}
+
+    def _get(n_iter: int, with_prot: bool):
+        key = (n_iter, with_prot)
+        if key not in _cache:
+            if with_prot:
+                _cache[key] = jax.jit(
+                    jax.shard_map(
+                        lambda s, nk, nv, dk, dv, rk, pk: run_steps(
+                            s, nk, nv, dk, dv, rk, n_iter, pk
+                        ),
+                        mesh=mesh,
+                        in_specs=(sspec,) + est_specs + (repl,),
+                        out_specs=(sspec, metrics_spec()),
+                        check_vma=False,
+                    )
+                )
+            else:
+                _cache[key] = jax.jit(
+                    jax.shard_map(
+                        lambda s, nk, nv, dk, dv, rk: run_steps(
+                            s, nk, nv, dk, dv, rk, n_iter
+                        ),
+                        mesh=mesh,
+                        in_specs=(sspec,) + est_specs,
+                        out_specs=(sspec, metrics_spec()),
+                        check_vma=False,
+                    )
+                )
+        return _cache[key]
+
     def sharded_run(state, num_keys, num_vals, den_keys, den_vals, ref_key,
                     n_iter: int, protected=None):
         if protected is not None:
             # semistochastic: the dense subspace is replicated; each shard
             # protects the members it owns (frisys_mol.cpp:347-401 runs the
             # same block on every MPI rank)
-            fn = jax.jit(
-                jax.shard_map(
-                    lambda s, nk, nv, dk, dv, rk, pk: run_steps(
-                        s, nk, nv, dk, dv, rk, n_iter, pk
-                    ),
-                    mesh=mesh,
-                    in_specs=(sspec,) + est_specs + (repl,),
-                    out_specs=(sspec, metrics_spec()),
-                    check_vma=False,
-                )
-            )
-            return fn(state, num_keys, num_vals, den_keys, den_vals, ref_key,
-                      protected)
-        fn = jax.jit(
-            jax.shard_map(
-                lambda s, nk, nv, dk, dv, rk: run_steps(
-                    s, nk, nv, dk, dv, rk, n_iter
-                ),
-                mesh=mesh,
-                in_specs=(sspec,) + est_specs,
-                out_specs=(sspec, metrics_spec()),
-                check_vma=False,
-            )
-        )
-        return fn(state, num_keys, num_vals, den_keys, den_vals, ref_key)
+            return _get(n_iter, True)(
+                state, num_keys, num_vals, den_keys, den_vals, ref_key,
+                protected)
+        return _get(n_iter, False)(
+            state, num_keys, num_vals, den_keys, den_vals, ref_key)
 
     return sharded_step, sharded_run
 
@@ -177,14 +192,19 @@ def shard_subspace(step, run_steps, mesh: Mesh, axis: str = AXIS):
         )
     )
 
+    _cache: dict = {}
+
     def sharded_run(state, n_iter: int):
-        fn = jax.jit(
-            jax.shard_map(
-                lambda s: run_steps(s, n_iter),
-                mesh=mesh, in_specs=(sspec,), out_specs=(sspec, mspec),
-                check_vma=False,
+        # cached per n_iter - a fresh shard_map lambda per call is a new
+        # jit cache key, i.e. a full recompile every invocation
+        if n_iter not in _cache:
+            _cache[n_iter] = jax.jit(
+                jax.shard_map(
+                    lambda s: run_steps(s, n_iter),
+                    mesh=mesh, in_specs=(sspec,), out_specs=(sspec, mspec),
+                    check_vma=False,
+                )
             )
-        )
-        return fn(state)
+        return _cache[n_iter](state)
 
     return sharded_step, sharded_run
