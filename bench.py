@@ -156,8 +156,16 @@ def bench_fciqmc():
     ham = synth.n2_ccpvdz_like(seed=2)
     cfg = fciqmc.FciqmcConfig(
         eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
-        attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 21,
+        attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 22,
         distribution="HB", integer_walkers=True, init_thresh=3.0,
+        # deadbeat norm control: damp/(interval*eps)*ln(growth) == the
+        # instantaneous growth-rate energy, so one update locks the
+        # population at its activation size (~target).  The default 0.05
+        # removes only 5% of the log-growth per window - with this
+        # synthetic system's ~30 Ha spectral range the population blew
+        # past every buffer before the shift caught up (measured 35.4M
+        # walkers and an overflow at 75 iterations, 2026-08-19).
+        shift_damping=1.0,
     )
     # start the population at scale (the reference grows 50M walkers over
     # ~1e5 CPU iterations, fciqmc_mol.cpp; the bench measures the steady

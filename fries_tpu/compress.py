@@ -663,7 +663,9 @@ def piv_budget(key, shard_norms: jax.Array, n_samp):
 
 @partial(
     jax.jit,
-    static_argnames=("out_size", "axis_name", "max_rounds", "emit_chunk"),
+    static_argnames=(
+        "out_size", "axis_name", "max_rounds", "emit_chunk", "pallas_emit",
+    ),
 )
 def comp_sub(
     values: jax.Array,
@@ -676,6 +678,7 @@ def comp_sub(
     axis_name: str | None = None,
     max_rounds: int = 64,
     emit_chunk: int = 0,
+    pallas_emit: bool | None = None,
 ):
     """One level of hierarchical compression.
 
@@ -698,6 +701,9 @@ def comp_sub(
       out_size:    static output capacity M.
       emit_chunk:  chunk the output-slot inversion over slots via lax.map
                    (bounds the (chunk, K) emission temporaries; 0 = one pass).
+      pallas_emit: force the Pallas emission kernel on/off (None = auto: on
+                   for f32 sub-weights on a TPU backend; see
+                   runtime.pallas_emit).
 
     Returns (out_vals (M,), out_parent (M,) int32, out_sub (M,) int32,
     n_out (int32 count of valid slots), overflowed (bool)).
@@ -807,6 +813,37 @@ def comp_sub(
     offsets = jnp.cumsum(counts) - counts  # exclusive, local to this shard
     total = jnp.sum(counts)
     overflow = total > out_size
+
+    # ---- Pallas emission path (TPU): linear-merge parent resolution +
+    # contiguous-window row selection, no sort / no HBM gathers ----
+    from fries_tpu.runtime import pallas_emit as _pemit
+
+    use_pallas = pallas_emit
+    interpret = pallas_emit == "interpret"
+    if use_pallas is None:
+        mode = _pemit.force_mode()
+        eligible = _pemit.supported(k, out_size, cdtype)
+        if mode == "interpret":
+            use_pallas, interpret = eligible, True
+        elif mode == "1":
+            use_pallas = eligible
+        else:
+            from fries_tpu.runtime import pallas_merge as _pm
+
+            use_pallas = (
+                eligible
+                and jax.default_backend() == "tpu"
+                and _pm.tpu_supported()
+            )
+    if use_pallas:
+        out_val, out_parent, out_sub = _pemit.emit(
+            offsets, kept_counts, g_start.astype(jnp.int32), ndiv, uniform,
+            w_sub.astype(jnp.float32), cum_parent, parent_rem,
+            values / ndiv_f, rn, unit, thr_f, w_floor, total, out_size,
+            interpret=interpret,
+        )
+        return (out_val, out_parent, out_sub,
+                jnp.minimum(total, out_size), overflow)
 
     # ---- output-slot inversion (optionally chunked over slots) ----
     col_ids = jnp.arange(k, dtype=jnp.int32)
