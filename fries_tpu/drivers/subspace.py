@@ -276,12 +276,11 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
         if cfg.lowmem:
             # <trial_i|(H - e_ref)|v_j> on the fly: enumerate H|trial_i> per
             # trial vector (small, fixed) and dot the spawns against the
-            # arena rows; no stored H*trial
-            h_rows = []
-            for i in range(t):
+            # arena rows; no stored H*trial.  vmapped over trial rows.
+            def h_row(tk_i, to_i, tv_raw, tvalid_i, td_i):
+                tv_i = jnp.where(tvalid_i, tv_raw, 0.0)
                 tw, ta, _ = mol.exact_offdiag_batch(
-                    ham, tmpl, t_keys[i], t_occ[i],
-                    jnp.where(t_valid[i], t_vals[i], 0.0), 1.0,
+                    ham, tmpl, tk_i, to_i, tv_i, 1.0
                 )
                 fw = tw.reshape(-1, ham.n_words)
                 fa = ta.reshape(-1)
@@ -291,29 +290,28 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
                     from fries_tpu.ops import time_reversal as tr_mod
 
                     nc_i = ta.shape[1]
-                    parents_i = jnp.repeat(t_keys[i], nc_i, axis=0)
-                    pocc_i = jnp.repeat(t_occ[i], nc_i, axis=0)
-                    scale_i = jnp.repeat(
-                        jnp.where(t_valid[i], t_vals[i], 0.0), nc_i
-                    )
+                    parents_i = jnp.repeat(tk_i, nc_i, axis=0)
+                    pocc_i = jnp.repeat(to_i, nc_i, axis=0)
+                    scale_i = jnp.repeat(tv_i, nc_i)
                     fw, fa = tr_mod.adjust_exact(
                         ham, parents_i, pocc_i, fw, fa, cfg.spin_parity,
                         scale=scale_i,
                     )
                 pos_o, found_o = dets.lookup_dets(a.keys, fw)
-                pos_t, found_t = dets.lookup_dets(a.keys, t_keys[i])
-                row_i = []
-                for j in range(t):
-                    off = jnp.sum(
-                        jnp.where(found_o, a.vals[j][pos_o], 0.0) * fa
-                    )
-                    dia = jnp.sum(
-                        jnp.where(found_t, a.vals[j][pos_t], 0.0)
-                        * t_vals[i] * t_diag_rel[i]
-                    )
-                    row_i.append(off + dia)
-                h_rows.append(jnp.stack(row_i))
-            h_mat = jnp.stack(h_rows)
+                pos_t, found_t = dets.lookup_dets(a.keys, tk_i)
+                off = jnp.sum(
+                    jnp.where(found_o[None, :], a.vals[:, pos_o], 0.0)
+                    * fa[None, :], axis=1,
+                )
+                dia = jnp.sum(
+                    jnp.where(found_t[None, :], a.vals[:, pos_t], 0.0)
+                    * (tv_raw * td_i)[None, :], axis=1,
+                )
+                return off + dia   # (T_vec,)
+
+            h_mat = jax.vmap(h_row)(
+                t_keys, t_occ, t_vals, t_valid, t_diag_rel
+            )
         else:
             h_mat = dots(h_keys, h_vals)
 
@@ -337,66 +335,74 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
 
         # ---- 4. per-row compression (reference compress_vecs pivotal
         # default, vec_utils.cpp:10-71; sys and two-level multinomial
-        # variants selectable) ----
-        comp_rows = []
-        for j in range(t):
-            vj = jnp.where(a.valid, a.vals[j], 0.0)
-            kj = jax.random.fold_in(key_iter, 100 + j)
-            if cfg.compress_mode == "piv":
-                comp_rows.append(
-                    compress.piv_comp(kj, vj, cfg.vec_nonz, axis_name=axis)
+        # variants selectable).  vmapped over the trial rows: one traced
+        # pipeline regardless of n_trial (the unrolled loop made compile
+        # time grow superlinearly with T, PLAN.md round-3 item 4) ----
+        vrows = jnp.where(a.valid[None, :], a.vals, 0.0)
+        krows = jax.vmap(lambda j: jax.random.fold_in(key_iter, 100 + j))(
+            jnp.arange(t)
+        )
+        if cfg.compress_mode == "piv":
+            vals = jax.vmap(
+                lambda kj, vj: compress.piv_comp(
+                    kj, vj, cfg.vec_nonz, axis_name=axis
                 )
-            elif cfg.compress_mode == "multi":
+            )(krows, vrows)
+        elif cfg.compress_mode == "multi":
+            def _multi(kj, vj):
                 keep, n_left, loc_norm = compress.find_preserve(
                     jnp.abs(vj), cfg.vec_nonz, axis_name=axis
                 )
-                comp_rows.append(
-                    compress.multi_comp(
-                        kj, vj, keep, n_left, loc_norm, axis_name=axis
-                    )
+                return compress.multi_comp(
+                    kj, vj, keep, n_left, loc_norm, axis_name=axis
                 )
-            else:
+
+            vals = jax.vmap(_multi)(krows, vrows)
+        else:
+            def _sys(kj, vj):
                 keep, n_left, loc_norm = compress.find_preserve(
                     jnp.abs(vj), cfg.vec_nonz, axis_name=axis
                 )
                 rn = jax.random.uniform(kj, dtype=jnp.float64)
-                comp_rows.append(
-                    compress.sys_comp(
-                        vj, keep, n_left, rn, loc_norm, axis_name=axis
-                    )
+                return compress.sys_comp(
+                    vj, keep, n_left, rn, loc_norm, axis_name=axis
                 )
-        vals = jnp.stack(comp_rows)
+
+            vals = jax.vmap(_sys)(krows, vrows)
         a = ar.Arena(a.keys, vals, a.n_used)
         any_nonzero = jnp.any(vals != 0, axis=0)
         a = ar.compact(a, any_nonzero)
 
-        # ---- 5. per-vector stochastic multiplication ----
-        all_words, all_amps, all_ini, all_rows = [], [], [], []
+        # ---- 5. per-vector stochastic multiplication, vmapped over rows
+        # (one HB-PP pipeline trace for any n_trial; buffers are (T, S)) ----
         norms_now = gsum(
             jnp.sum(jnp.abs(jnp.where(a.valid[None, :], a.vals, 0.0)), axis=1)
         )
         overflow = jnp.bool_(False)
-        n_ini_rows = []
-        for j in range(t):
-            vj = jnp.where(a.valid, a.vals[j], 0.0)
-            kj = jax.random.fold_in(key_iter, 200 + j)
-            # norm-relative initiator threshold (subsp_mol.cpp:522-523):
-            # init_thresh * ||v_j||_1 / matr_samp, recomputed per vector per
-            # iteration (init_thresh=0 keeps every parent an initiator)
-            thr_j = cfg.init_thresh * norms_now[j] / cfg.matr_samp
-            n_ini_rows.append(jnp.sum(
-                ((jnp.abs(vj) >= thr_j) & (vj != 0)).astype(jnp.int32)
-            ))
-            w, amp, ini_j = spawn(a.keys, vj, -cfg.eps, kj, thresh=thr_j)
-            all_words.append(w)
-            all_amps.append(amp)
-            all_ini.append(ini_j)
-            all_rows.append(jnp.full(amp.shape, j, jnp.int32))
-
-        sw = jnp.concatenate(all_words)
-        sa = jnp.concatenate(all_amps)
-        si = jnp.concatenate(all_ini)
-        sr = jnp.concatenate(all_rows)
+        vrows2 = jnp.where(a.valid[None, :], a.vals, 0.0)
+        krows2 = jax.vmap(lambda j: jax.random.fold_in(key_iter, 200 + j))(
+            jnp.arange(t)
+        )
+        # norm-relative initiator threshold (subsp_mol.cpp:522-523):
+        # init_thresh * ||v_j||_1 / matr_samp, recomputed per vector per
+        # iteration (init_thresh=0 keeps every parent an initiator)
+        thr_rows = cfg.init_thresh * norms_now / cfg.matr_samp
+        n_ini_rows = jnp.sum(
+            ((jnp.abs(vrows2) >= thr_rows[:, None]) & (vrows2 != 0)).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+        w_b, amp_b, ini_b = jax.vmap(
+            lambda vj, kj, tj: spawn(a.keys, vj, -cfg.eps, kj, thresh=tj)
+        )(vrows2, krows2, thr_rows)
+        row_b = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[:, None], amp_b.shape
+        )
+        sw = w_b.reshape(-1, ham.n_words)
+        sa = amp_b.reshape(-1)
+        si = ini_b.reshape(-1)
+        sr = row_b.reshape(-1)
 
         if axis and cfg.n_shards > 1:
             # route spawns to their owning shards (Adder::perform_add)
@@ -437,7 +443,7 @@ def build(ham: mol.MolecularHamiltonian, cfg: SubspaceConfig,
             "norms": norms,
             "norm_factors": norm_factors,
             # per-vector initiator counts (subsp_mol.cpp:610-624 -> n_ini.txt)
-            "n_ini": gsum(jnp.stack(n_ini_rows)),
+            "n_ini": gsum(n_ini_rows),
             "n_dets": gsum(a2.n_used),
             "overflow": (
                 gsum(overflow.astype(jnp.int32)) > 0 if axis else overflow
