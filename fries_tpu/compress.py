@@ -814,8 +814,15 @@ def comp_sub(
     total = jnp.sum(counts)
     overflow = total > out_size
 
-    # ---- Pallas emission path (TPU): linear-merge parent resolution +
-    # contiguous-window row selection, no sort / no HBM gathers ----
+    # ---- Pallas emission path: linear-merge parent resolution +
+    # contiguous-window row selection, no sort / no HBM gathers.
+    # OFF by default: isolated it matches the XLA emission (~24 ms at
+    # level-B flagship shapes, 2026-08-19 A/B), but inside the fused
+    # frisys step the XLA emission overlaps with neighboring phases while
+    # the sequential-grid kernel + its (N, 128) table pack cannot -
+    # in-step it measured 467 vs 358 ms/iter at the 500k rung.  Kept for
+    # forcing via FRIES_PALLAS_EMIT=1 and as the base for a parallel-grid
+    # variant (PLAN.md).
     from fries_tpu.runtime import pallas_emit as _pemit
 
     use_pallas = pallas_emit
@@ -826,8 +833,6 @@ def comp_sub(
         if mode == "interpret":
             use_pallas, interpret = eligible, True
         elif mode == "1":
-            use_pallas = eligible
-        else:
             from fries_tpu.runtime import pallas_merge as _pm
 
             use_pallas = (
@@ -835,6 +840,8 @@ def comp_sub(
                 and jax.default_backend() == "tpu"
                 and _pm.tpu_supported()
             )
+        else:
+            use_pallas = False
     if use_pallas:
         out_val, out_parent, out_sub = _pemit.emit(
             offsets, kept_counts, g_start.astype(jnp.int32), ndiv, uniform,

@@ -47,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 T = int(os.environ.get("FRIES_EMIT_TILE", "256"))   # slots per tile (lanes)
 W = int(os.environ.get("FRIES_EMIT_WIN", "256"))    # parent rows per window
-NCOL = 64                                           # packed row width
+NCOL = 128                                          # packed row width
+                                                    # (Mosaic DMA windows need
+                                                    # 128-aligned lane dims; the
+                                                    # lanes past _C_W0+K are dead)
 
 # packed-column layout (lane index in the (N, NCOL) table)
 _C_OFF = 0      # output-slot offset (exclusive cumsum of counts)
@@ -142,7 +145,7 @@ def _split64(x):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(k: int):
-    def kernel(iscal, fscal, data_ref, o_par, o_kept, o_sub, o_vh, o_vl,
+    def kernel(iscal, fscal, data_ref, o_ref,
                win, cnt_ref, sel_ref, ptr, sem):
         t = pl.program_id(0)
         total = iscal[0]
@@ -185,9 +188,12 @@ def _make_kernel(k: int):
             has = rows[_C_ONE:_C_ONE + 1, :] > 0.5          # (1, T)
             sel_ref[...] = jnp.where(has, rows, sel_ref[...])
             cnt_ref[...] = cnt_ref[...] + cnt_c
-            more = jnp.sum(
-                (offw <= last_eff).astype(jnp.int32)
-            ) == jnp.int32(W)
+            # continue while the window's last (ascending) offset still lies
+            # inside this tile's live slot range.  Scalar VMEM read - a full
+            # reduce here would lower through a jnp proxy OUTSIDE the
+            # enable_x64(False) tracing scope and emit i64 converts Mosaic
+            # rejects.
+            more = win[W - 1, _C_OFF] <= last_eff
             return more, step + 1
 
         lax.while_loop(lambda c: c[0], body, (jnp.bool_(True), jnp.int32(0)))
@@ -272,11 +278,21 @@ def _make_kernel(k: int):
         vh = jnp.where(uni, u_h, kval)
         vl = jnp.where(uni, u_l, zero)
 
-        o_par[...] = parent
-        o_kept[...] = is_kept.astype(jnp.int32)
-        o_sub[...] = sub.astype(jnp.int32)
-        o_vh[...] = vh
-        o_vl[...] = vl
+        # pack the five per-slot outputs as rows of one (8, T) i32 block
+        # (Mosaic requires the block's sublane dim divisible by 8; separate
+        # (1, T) outputs are rejected)
+        pad3 = jnp.zeros((3, T), jnp.int32)
+        o_ref[0] = jnp.concatenate(
+            [
+                parent,
+                is_kept.astype(jnp.int32),
+                sub.astype(jnp.int32),
+                pltpu.bitcast(vh, jnp.int32),
+                pltpu.bitcast(vl, jnp.int32),
+                pad3,
+            ],
+            axis=0,
+        )
 
     return kernel
 
@@ -297,7 +313,7 @@ def _emit_call(data, total, fscal, out_size, k, interpret):
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, T), lambda i, *_: (i, 0)) for _ in range(5)
+            pl.BlockSpec((1, 8, T), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, NCOL), jnp.float32),
@@ -308,24 +324,24 @@ def _emit_call(data, total, fscal, out_size, k, interpret):
         ],
     )
     with jax.enable_x64(False):
-        par, kept, sub, vh, vl = pl.pallas_call(
+        packed = pl.pallas_call(
             _make_kernel(k),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_tiles, T), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, T), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, T), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles, T), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, T), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 8, T), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(iscal, fscal, data)
+        )(iscal, fscal, data)[0]
     flat = lambda a: a.reshape(-1)[:out_size]
-    return flat(par), flat(kept), flat(sub), flat(vh), flat(vl)
+    f32 = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+    return (
+        flat(packed[:, 0]), flat(packed[:, 1]), flat(packed[:, 2]),
+        f32(flat(packed[:, 3])), f32(flat(packed[:, 4])),
+    )
 
 
 def emit(offsets, kept_counts, g_start, ndiv, uniform, w_sub,
