@@ -1339,7 +1339,8 @@ def _merge_call(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
 
 def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
                       origin_row: int = 0, dest_row: int = 0,
-                      *, keep_mask=None, interpret: bool = False):
+                      *, keep_mask=None, interpret: bool = False,
+                      version: str | None = None):
     """Drop-in for ``arena.accumulate``.
 
     Supports the two layouts the drivers use: a single value row with
@@ -1359,6 +1360,15 @@ def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
     vec_utils.hpp:466-478 del_at_pos bookkeeping).
     """
     from fries_tpu.runtime import arena as arena_mod
+
+    if version is None:
+        version = os.environ.get("FRIES_MERGE_KERNEL", "v2")
+    if version == "v3":
+        from fries_tpu.runtime import pallas_merge_v3 as v3
+
+        return v3.accumulate_pallas_v3(
+            arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row,
+            keep_mask=keep_mask, interpret=interpret)
 
     c, w = arena.keys.shape
     r = arena.n_vecs

@@ -65,18 +65,20 @@ def _rand_case(rng, n_words, capacity, n_occ, n_spawn, n_universe,
     return a, jnp.asarray(skeys), jnp.asarray(svals), jnp.asarray(sini)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("n_words", [1, 2])
 @pytest.mark.parametrize("trial", range(3))
-def test_matches_xla_accumulate(n_words, trial):
+def test_matches_xla_accumulate(n_words, trial, version):
     rng = np.random.default_rng(100 * n_words + trial)
-    # merged stream ~1100 elements -> spans 3 kernel tiles, exercising the
-    # cross-tile segment carry and the final flush
+    # merged stream ~1100 elements -> spans 3 kernel tiles (v2; 2 for v3),
+    # exercising the cross-tile segment carry and the final flush
     capacity = 1024
     a, sk, sv, si = _rand_case(
         rng, n_words, capacity, n_occ=400, n_spawn=700, n_universe=800)
     ref, rstats = arena_mod.accumulate(a, sk, sv, si)
     got, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
-                                                 interpret=True)
+                                                 interpret=True,
+                                                 version=version)
     assert bool(gstats["overflow"]) == bool(rstats["overflow"])
     assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
     dref = _arena_dict(ref)
@@ -91,18 +93,21 @@ def test_matches_xla_accumulate(n_words, trial):
     assert np.all(pk[1:] >= pk[:-1])
 
 
-def test_empty_spawns():
+@pytest.mark.parametrize("version", ["v2", "v3"])
+def test_empty_spawns(version):
     rng = np.random.default_rng(7)
     a, sk, sv, si = _rand_case(rng, 2, 128, n_occ=40, n_spawn=32,
                                n_universe=64, invalid_frac=1.0)
     ref, _ = arena_mod.accumulate(a, sk, sv, si)
     got, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
-                                                 interpret=True)
+                                                 interpret=True,
+                                                 version=version)
     assert not bool(gstats["overflow"])
     assert _arena_dict(got) == pytest.approx(_arena_dict(ref))
 
 
-def test_empty_arena():
+@pytest.mark.parametrize("version", ["v2", "v3"])
+def test_empty_arena(version):
     rng = np.random.default_rng(8)
     a = arena_mod.make(128, 2, 1)
     sk = jnp.asarray(
@@ -110,27 +115,31 @@ def test_empty_arena():
     sv = jnp.asarray(rng.standard_normal(64))
     si = jnp.ones((64,), bool)
     ref, _ = arena_mod.accumulate(a, sk, sv, si)
-    got, _ = pallas_merge.accumulate_pallas(a, sk, sv, si, interpret=True)
+    got, _ = pallas_merge.accumulate_pallas(a, sk, sv, si, interpret=True,
+                                            version=version)
     dref, dgot = _arena_dict(ref), _arena_dict(got)
     assert set(dgot) == set(dref)
     for k in dref:
         assert np.isclose(dgot[k], dref[k]), k
 
 
-def test_overflow_flagged():
+@pytest.mark.parametrize("version", ["v2", "v3"])
+def test_overflow_flagged(version):
     rng = np.random.default_rng(9)
     a, sk, sv, si = _rand_case(rng, 2, 64, n_occ=60, n_spawn=200,
                                n_universe=400, ini_frac=1.0,
                                invalid_frac=0.0)
     _, rstats = arena_mod.accumulate(a, sk, sv, si)
     _, gstats = pallas_merge.accumulate_pallas(a, sk, sv, si,
-                                               interpret=True)
+                                               interpret=True,
+                                               version=version)
     assert bool(rstats["overflow"])
     assert bool(gstats["overflow"])
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("trial", range(2))
-def test_two_row_power_layout(trial):
+def test_two_row_power_layout(trial, version):
     """origin_row=0 gate / dest_row=1 accumulate - the power-step layout."""
     rng = np.random.default_rng(40 + trial)
     capacity = 1024
@@ -144,7 +153,8 @@ def test_two_row_power_layout(trial):
     ref, rstats = arena_mod.accumulate(a, sk, sv, si,
                                        origin_row=0, dest_row=1)
     got, gstats = pallas_merge.accumulate_pallas(
-        a, sk, sv, si, origin_row=0, dest_row=1, interpret=True)
+        a, sk, sv, si, origin_row=0, dest_row=1, interpret=True,
+        version=version)
     assert bool(gstats["overflow"]) == bool(rstats["overflow"])
     assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
     assert int(got.n_used[0]) == int(ref.n_used[0])
@@ -190,8 +200,9 @@ def test_multi_row_matches_xla(n_rows, trial):
             np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("trial", range(2))
-def test_fused_compaction_matches_compact_then_accumulate(trial):
+def test_fused_compaction_matches_compact_then_accumulate(trial, version):
     """keep_mask drop-dead mode == arena.compact followed by accumulate."""
     rng = np.random.default_rng(80 + trial)
     capacity = 1024
@@ -208,7 +219,7 @@ def test_fused_compaction_matches_compact_then_accumulate(trial):
                                        origin_row=0, dest_row=1)
     got, gstats = pallas_merge.accumulate_pallas(
         a, sk, sv, si, origin_row=0, dest_row=1, keep_mask=keep,
-        interpret=True)
+        interpret=True, version=version)
     assert bool(gstats["overflow"]) == bool(rstats["overflow"])
     assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
     assert int(got.n_used[0]) == int(ref.n_used[0])

@@ -101,8 +101,8 @@ def exact_energy(ham, n_alpha, n_beta, m: int = 80, chunk: int = 2048):
 
     basis = full_basis_words(ham.n_orb, n_alpha, n_beta)
     hv, _ = make_full_matvec(ham, basis, chunk=chunk)
-    e0, _ = linalg.lanczos_ground_state(hv, basis.shape[0], m=m)
-    return e0, basis.shape[0]
+    e0, ritz = linalg.lanczos_ground_state(hv, basis.shape[0], m=m)
+    return e0, ritz, basis
 
 
 def main():
@@ -117,6 +117,23 @@ def main():
     ap.add_argument("--matr_samp", type=int, default=100000)
     ap.add_argument("--lanczos_m", type=int, default=80)
     ap.add_argument("--eps", type=float, default=0.02)
+    ap.add_argument("--scan", type=int, default=25,
+                    help="iterations per on-device scan: long scan programs "
+                         "(1000) kernel-fault the v5e worker (same "
+                         "length-dependent miscompile as fciqmc scan(20), "
+                         "PLAN.md round-3 session-2), so blocks run as "
+                         "chained short scans")
+    ap.add_argument("--e0", type=float, default=None,
+                    help="skip Lanczos, use this exact ground-state energy "
+                         "(must match n_orb/n_elec/seed; forces trial_k=0)")
+    ap.add_argument("--cache", default="/tmp/anchor_lanczos.npz",
+                    help="cache file for the Lanczos solve (e0 + Ritz "
+                         "vector + basis)")
+    ap.add_argument("--trial_k", type=int, default=256,
+                    help="estimator trial vector = the top-k components of "
+                         "the Lanczos Ritz vector (the production analogue "
+                         "of the reference's CISD/HCI trials, "
+                         "frisys_mol.cpp:159-214; 0 = HF-only trial)")
     args = ap.parse_args()
 
     from fries_tpu import stats, synth
@@ -127,26 +144,60 @@ def main():
     half = args.n_elec // 2
 
     t0 = time.time()
-    e0, dim = exact_energy(ham, half, args.n_elec - half, m=args.lanczos_m)
+    ritz = None
+    if args.e0 is not None:
+        from math import comb
+
+        e0 = args.e0
+        dim = comb(args.n_orb, half) * comb(args.n_orb, args.n_elec - half)
+    elif os.path.exists(args.cache):
+        d = np.load(args.cache)
+        e0 = float(d["e0"])
+        ritz = d["ritz"]
+        basis = jnp.asarray(d["basis"])
+        dim = basis.shape[0]
+    else:
+        e0, ritz, basis = exact_energy(ham, half, args.n_elec - half,
+                                       m=args.lanczos_m)
+        np.savez(args.cache, e0=e0, ritz=np.asarray(ritz),
+                 basis=np.asarray(basis))
+        dim = basis.shape[0]
     t_lanczos = time.time() - t0
     print(f"# dim={dim} lanczos E0={e0:.9f} ({t_lanczos:.0f}s)", flush=True)
+
+    trial = None
+    if args.trial_k and ritz is not None:
+        # HF-only trials measured 2 sigma = 5.6 Ha over 12k iterations here
+        # (IAT 54, per-sample swings of tens of Ha): the random 12-orbital
+        # system is strongly correlated and the HF weight is tiny.  The
+        # reference's production runs project against CISD/HCI trial
+        # vectors for exactly this reason (Input_Data *cisd* files,
+        # frisys_mol.cpp:159-214); the Ritz top-k is this run's equivalent.
+        idx = np.argsort(-np.abs(np.asarray(ritz)))[:args.trial_k]
+        tv = np.asarray(ritz)[idx]
+        trial = (np.asarray(basis)[idx], tv / np.abs(tv).max())
+        print(f"# trial: top-{args.trial_k} Ritz components "
+              f"(|c| >= {np.abs(tv).min():.2e})", flush=True)
 
     cfg = frisys.FrisysConfig(
         eps=args.eps, vec_nonz=args.vec_nonz, matr_samp=args.matr_samp,
         capacity=1 << 17, spawn_cap=4 * args.matr_samp,
         target_norm=2.0 * args.vec_nonz, init_thresh=1.0,
     )
-    step, run_steps, state, aux = frisys.build(ham, cfg, seed=args.seed + 1)
+    step, run_steps, state, aux = frisys.build(ham, cfg, seed=args.seed + 1,
+                                               trial=trial)
     nums, dens = [], []
     t0 = time.time()
     n_blocks = -(-args.iters // args.block)
+    n_sub = -(-args.block // args.scan)
     for i in range(n_blocks):
-        state, traj = run_steps(
-            state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
-            aux["den_vals"], aux["ref_key"], args.block,
-        )
-        nums.append(np.asarray(traj["proj_num"]))
-        dens.append(np.asarray(traj["proj_den"]))
+        for _ in range(n_sub):
+            state, traj = run_steps(
+                state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+                aux["den_vals"], aux["ref_key"], args.scan,
+            )
+            nums.append(np.asarray(traj["proj_num"]))
+            dens.append(np.asarray(traj["proj_den"]))
         ov = bool(np.asarray(traj["overflow"]).any())
         print(f"# block {i + 1}/{n_blocks} overflow={ov} "
               f"({time.time() - t0:.0f}s)", flush=True)
