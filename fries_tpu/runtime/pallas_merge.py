@@ -1193,11 +1193,21 @@ def _merge_call_multi(a_t, b_t, n_a, n_s, capacity, n_words, n_rows,
 
 
 def accumulate_multi_pallas(arena, spawn_keys, spawn_vals, spawn_rows,
-                            spawn_ini, *, interpret: bool = False):
+                            spawn_ini, *, interpret: bool = False,
+                            version: str | None = None):
     """Drop-in for ``arena.accumulate_multi`` (per-spawn destination rows,
     initiator occupancy checked against the spawn's own row).  Requires
     packable det keys and ``arena.n_vecs <= 14`` (int32 flag bits)."""
     from fries_tpu.runtime import arena as arena_mod
+
+    if version is None:
+        version = os.environ.get("FRIES_MERGE_KERNEL", "v2")
+    if version == "v3":
+        from fries_tpu.runtime import pallas_merge_v3 as v3
+
+        return v3.accumulate_multi_pallas_v3(
+            arena, spawn_keys, spawn_vals, spawn_rows, spawn_ini,
+            interpret=interpret)
 
     c, w = arena.keys.shape
     r = arena.n_vecs

@@ -66,6 +66,8 @@ from fries_tpu.runtime.pallas_merge import (
     _i2f_host,
     _seg_alive,
     _seg_alive_i,
+    _seg_alive_multi,
+    _seg_alive_multi_i,
     split_key,
     split_val,
     unsplit_key,
@@ -199,7 +201,10 @@ def _bitonic_merge(kh, kl, tie, payload):
                            & ((kl > pkl) | ((kl == pkl) & (tie > ptie))))
         lt = (kh < pkh) | ((kh == pkh)
                            & ((kl < pkl) | ((kl == pkl) & (tie < ptie))))
-        swap = jnp.where(lower, gt, lt)
+        # select i32 0/1, not i1 operands: Mosaic cannot truncate the
+        # resulting i8 select back to an i1 vector at (R2, 128)
+        swap = jnp.where(lower, gt.astype(jnp.int32),
+                         lt.astype(jnp.int32)) > 0
         kh = jnp.where(swap, pkh, kh)
         kl = jnp.where(swap, pkl, kl)
         tie = jnp.where(swap, ptie, tie)
@@ -360,17 +365,24 @@ def _kernel_v3(scal, a_ref, b_ref, o_ref, stats_ref,
             gap,
             [mk_h, mk_l, _f2i_k(gv_h), _f2i_k(gv_l),
              _f2i_k(sv_h), _f2i_k(sv_l)])
+        # flush shift: scalar f32 bitcasts are not lowerable (tpu.bitcast
+        # needs vectors), so value carries are injected as vector selects
+        # on slot 0 instead of shift fills
         fmask = (zero + flush_i) > 0
+        slot0 = pos == 0
         e_kh = jnp.where(fmask, _shift_down2(e_kh, 1, ckey[0]), e_kh)
         e_kl = jnp.where(fmask, _shift_down2(e_kl, 1, ckey[1]), e_kl)
-        e_gh = jnp.where(fmask,
-                         _shift_down2(e_gh, 1, _f2i_s(cval[0])), e_gh)
-        e_gl = jnp.where(fmask,
-                         _shift_down2(e_gl, 1, _f2i_s(cval[1])), e_gl)
-        e_vh = jnp.where(fmask,
-                         _shift_down2(e_vh, 1, _f2i_s(cval[2])), e_vh)
-        e_vl = jnp.where(fmask,
-                         _shift_down2(e_vl, 1, _f2i_s(cval[3])), e_vl)
+
+        def _carry_val(col, cv):
+            shifted = jnp.where(fmask, _shift_down2(col, 1, jnp.int32(0)),
+                                col)
+            return jnp.where(fmask & slot0,
+                             _f2i_k(jnp.full((RB, 128), cv)), shifted)
+
+        e_gh = _carry_val(e_gh, cval[0])
+        e_gl = _carry_val(e_gl, cval[1])
+        e_vh = _carry_val(e_vh, cval[2])
+        e_vl = _carry_val(e_vl, cval[3])
         vmask = pos < n_emit
         e_kh = jnp.where(vmask, e_kh, sent_h)
         e_kl = jnp.where(vmask, e_kl, sent_l)
@@ -439,15 +451,21 @@ def _kernel_v3(scal, a_ref, b_ref, o_ref, stats_ref,
             stats_ref[i] = 0
 
 
-def _f2i_s(x):
-    """Scalar f32 -> i32 bitcast (SMEM carry values as shift fills)."""
-    return lax.bitcast_convert_type(x, jnp.int32)
-
-
 def _stg_col(x, sent):
-    """(RB, 128) packed column -> (STG3, 1) staging column (tail = sent)."""
-    tail = jnp.zeros((STG3 - TB, 1), jnp.int32) + sent
-    return jnp.concatenate([x.reshape(TB, 1), tail])
+    """(RB, 128) packed column -> (STG3, 1) staging column (tail = sent).
+
+    Mosaic cannot lower the direct (RB, 128) -> (TB, 1) shape cast (nor a
+    sublane-lane transpose), so the layout change is a rolled select: build
+    rep[p, :] = x[p // 128, :] with RB range selects, then reduce the lane
+    matching p %% 128 (verified lowerable by tools/probe_reshape.py)."""
+    s_out = lax.broadcasted_iota(jnp.int32, (STG3, 1), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (STG3, 128), 1)
+    rep = jnp.full((STG3, 128), sent, jnp.int32)
+    for r in range(RB):
+        in_r = (s_out >= r * 128) & (s_out < (r + 1) * 128)
+        rep = jnp.where(in_r, x[r:r + 1, :], rep)
+    return jnp.sum(jnp.where(lane == s_out % 128, rep, 0),
+                   axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("capacity", "n_words", "interpret"))
@@ -502,6 +520,361 @@ def _merge_call_v3(a_t, b_t, n_a, n_s, capacity, n_words, interpret):
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# multi-row kernel: per-spawn destination rows (subspace drivers)
+#
+# Same generalization as pallas_merge._make_kernel_multi (R arena value
+# rows, per-spawn row ids, per-row occupancy gating of non-initiator
+# spawns; flag-bit layout shared via _seg_alive_multi), rebuilt on the v3
+# networks.  Spawn values are pre-split into their destination row's
+# column pair when the combined window is assembled, so the merge moves
+# 2R uniform value columns and the per-row segment sums need no selects.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v3_multi(r):
+    def kernel(scal, a_ref, b_ref, o_ref, stats_ref,
+               awin, bwin, stg, st, ckey, cval, sem_a, sem_b, sem_o):
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
+        n_a = scal[0]
+        n_s = scal[1]
+        sent_h = scal[2]
+        sent_l = scal[3]
+        cap = scal[4]
+        b_base = scal[5]
+
+        @pl.when(t == 0)
+        def _init():
+            for i in range(6):
+                st[i] = 0
+            ckey[0] = _I32_MAX
+            ckey[1] = _I32_MAX
+            for i in range(2 * r):
+                cval[i] = 0.0
+
+        ai = st[0]
+        si = st[1]
+        done = (ai >= n_a) & (si >= n_s)
+        is_final = t == n_t - 1
+
+        @pl.when((~done) & (~is_final))
+        def _tile():
+            cp_a = pltpu.make_async_copy(a_ref.at[pl.ds(ai, TB)], awin,
+                                         sem_a)
+            cp_b = pltpu.make_async_copy(b_ref.at[pl.ds(b_base - si, TB)],
+                                         bwin, sem_b)
+            cp_a.start()
+            cp_b.start()
+            cp_a.wait()
+            cp_b.wait()
+
+            def col_a(c):
+                return awin[:, c:c + 1].reshape(RB, 128)
+
+            def col_b(c):
+                return bwin[:, c:c + 1].reshape(RB, 128)
+
+            zero = jnp.zeros((RB, 128), jnp.int32)
+            kh = jnp.concatenate([col_a(0), col_b(0)])
+            kl = jnp.concatenate([col_a(1), col_b(1)])
+            tie = jnp.concatenate([zero - 1, col_b(6)])
+            b_row = col_b(5)
+            pairs = []
+            for i in range(r):
+                sel = b_row == i
+                pairs.append(jnp.concatenate(
+                    [col_a(2 + 2 * i),
+                     jnp.where(sel, col_b(2), jnp.int32(0))]))
+                pairs.append(jnp.concatenate(
+                    [col_a(3 + 2 * i),
+                     jnp.where(sel, col_b(3), jnp.int32(0))]))
+            ini = jnp.concatenate([zero, col_b(4)])
+            rowc = jnp.concatenate([zero - 1, b_row])
+
+            kh, kl, tie, moved = _bitonic_merge(
+                kh, kl, tie, pairs + [ini, rowc])
+            pairs, ini, rowc = moved[:2 * r], moved[2 * r], moved[2 * r + 1]
+
+            mk_h, mk_l, m_tie = kh[:RB], kl[:RB], tie[:RB]
+            filled = ~((mk_h == sent_h) & (mk_l == sent_l))
+            is_arena = (m_tie < 0) & filled
+            is_spawn = (m_tie >= 0) & filled
+            n_cons_a = _count(is_arena)
+            n_cons_b = _count(is_spawn)
+            m_ini = (ini[:RB] > 0) & is_spawn
+            m_row = rowc[:RB]
+            pv_h = [lax.bitcast_convert_type(pairs[2 * i][:RB], jnp.float32)
+                    for i in range(r)]
+            pv_l = [lax.bitcast_convert_type(pairs[2 * i + 1][:RB],
+                                             jnp.float32)
+                    for i in range(r)]
+
+            pk_h = _shift_down2(mk_h, 1, ckey[0])
+            pk_l = _shift_down2(mk_l, 1, ckey[1])
+            cv_ok = st[3] > 0
+            first = (mk_h != pk_h) | (mk_l != pk_l)
+
+            flags_src = (is_arena.astype(jnp.int32) * 1
+                         | m_ini.astype(jnp.int32) * 2)
+            for i in range(r):
+                occ_i = is_arena & ((pv_h[i] != 0.0) | (pv_l[i] != 0.0))
+                sp_i = is_spawn & (m_row == i)
+                flags_src = (flags_src
+                             | occ_i.astype(jnp.int32) * (4 << i)
+                             | sp_i.astype(jnp.int32) * (4 << (r + i)))
+            fscan = _seg_or_scan2(flags_src, first)
+            cont = (_prefix_or2(first.astype(jnp.int32)) == 0) & filled
+            inject = cont & cv_ok
+            fscan = jnp.where(inject, fscan | st[4], fscan)
+
+            occ_own = jnp.zeros_like(is_arena)
+            for i in range(r):
+                occ_own |= (m_row == i) & ((fscan & (4 << i)) > 0)
+            allowed_sp = is_spawn & (m_ini | occ_own)
+            contributes = allowed_sp | is_arena
+            nonini_new = _count(is_spawn & (~m_ini) & occ_own)
+
+            sv_h, sv_l = [], []
+            for i in range(r):
+                add_h = jnp.where(contributes, pv_h[i], 0.0)
+                add_l = jnp.where(contributes, pv_l[i], 0.0)
+                vh_i, vl_i = _seg_sum_scan2(add_h, add_l, first)
+                ch_i, cl_i = _dd_add(vh_i, vl_i, cval[2 * i],
+                                     cval[2 * i + 1])
+                sv_h.append(jnp.where(inject, ch_i, vh_i))
+                sv_l.append(jnp.where(inject, cl_i, vl_i))
+
+            nxt = _shift_up2(first.astype(jnp.int32), 1, jnp.int32(0))
+            is_last = (nxt > 0) & filled
+            emit = is_last & _seg_alive_multi(fscan, r)
+            first0_i = first.astype(jnp.int32)[0, 0]
+            flush_i = st[3] * first0_i * _seg_alive_multi_i(st[4], r)
+            rank0 = _cumsum2(emit.astype(jnp.int32)) - 1
+            n_emit = rank0[RB - 1, 127] + 1 + flush_i
+
+            pos = _iota2((RB, 128), 0) * 128 + _iota2((RB, 128), 1)
+            gap = jnp.where(emit, pos - rank0, jnp.int32(0))
+            packed = _pack_left(
+                gap,
+                [mk_h, mk_l]
+                + [c for i in range(r)
+                   for c in (_f2i_k(sv_h[i]), _f2i_k(sv_l[i]))])
+            fmask = (zero + flush_i) > 0
+            slot0 = pos == 0
+            e_kh = jnp.where(fmask, _shift_down2(packed[0], 1, ckey[0]),
+                             packed[0])
+            e_kl = jnp.where(fmask, _shift_down2(packed[1], 1, ckey[1]),
+                             packed[1])
+            vmask = pos < n_emit
+            e_kh = jnp.where(vmask, e_kh, sent_h)
+            e_kl = jnp.where(vmask, e_kl, sent_l)
+            stg[:, 0:1] = _stg_col(e_kh, sent_h)
+            stg[:, 1:2] = _stg_col(e_kl, sent_l)
+            for i in range(2 * r):
+                # scalar f32 bitcasts don't lower; inject the carry as a
+                # vector select on slot 0 (see _carry_val in _kernel_v3)
+                e_v = jnp.where(
+                    fmask, _shift_down2(packed[2 + i], 1, jnp.int32(0)),
+                    packed[2 + i])
+                e_v = jnp.where(fmask & slot0,
+                                _f2i_k(jnp.full((RB, 128), cval[i])), e_v)
+                stg[:, 2 + i:3 + i] = _stg_col(e_v, jnp.int32(0))
+
+            oi = st[2]
+            ok = oi <= cap
+
+            @pl.when(ok)
+            def _write():
+                cp_o = pltpu.make_async_copy(stg, o_ref.at[pl.ds(oi, STG3)],
+                                             sem_o)
+                cp_o.start()
+                cp_o.wait()
+
+            st[0] = ai + n_cons_a
+            st[1] = si + n_cons_b
+            st[2] = oi + n_emit
+            lo = filled.astype(jnp.int32)[RB - 1, 127]
+            lo_f = lo.astype(jnp.float32)
+            st[3] = lo
+            st[4] = lo * fscan[RB - 1, 127]
+            st[5] = st[5] + nonini_new
+            ckey[0] = lo * mk_h[RB - 1, 127] + (1 - lo) * _I32_MAX
+            ckey[1] = lo * mk_l[RB - 1, 127] + (1 - lo) * _I32_MAX
+            for i in range(r):
+                cval[2 * i] = lo_f * sv_h[i][RB - 1, 127]
+                cval[2 * i + 1] = lo_f * sv_l[i][RB - 1, 127]
+
+        @pl.when(is_final)
+        def _flush():
+            oi = st[2]
+            flush = (st[3] > 0) & _seg_alive_multi(st[4], r)
+
+            @pl.when(flush)
+            def _do_flush():
+                s_out = lax.broadcasted_iota(jnp.int32, (STG3, 1), 0)
+                row0 = s_out == 0
+                stg[:, 0:1] = jnp.where(row0, ckey[0], _I32_MAX)
+                stg[:, 1:2] = jnp.where(row0, ckey[1], _I32_MAX)
+                for col in range(2 * r):
+                    stg[:, 2 + col:3 + col] = jnp.where(
+                        row0, _f2i_k(jnp.full((STG3, 1), cval[col])),
+                        jnp.int32(0))
+
+                @pl.when(oi <= cap)
+                def _w():
+                    cp_o = pltpu.make_async_copy(
+                        stg, o_ref.at[pl.ds(oi, STG3)], sem_o)
+                    cp_o.start()
+                    cp_o.wait()
+                st[2] = oi + 1
+
+            stats_ref[0] = st[2]
+            stats_ref[1] = jnp.minimum(jnp.maximum(st[2] - cap, 0), 1)
+            stats_ref[2] = st[5]
+            for i in range(3, 8):
+                stats_ref[i] = 0
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("capacity", "n_words", "n_rows", "interpret"))
+def _merge_call_v3_multi(a_t, b_t, n_a, n_s, capacity, n_words, n_rows,
+                         interpret):
+    s_pad = b_t.shape[0]
+    sent_h, sent_l = split_key(dets.invalid_det(n_words)[None, :])
+    scal = jnp.stack([
+        n_a.astype(jnp.int32), n_s.astype(jnp.int32),
+        sent_h[0], sent_l[0], jnp.int32(capacity),
+        jnp.int32(s_pad - TB), jnp.int32(0), jnp.int32(0)])
+    g = _cdiv((a_t.shape[0] - TB) + (s_pad - TB), TB) + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, NCOL), jnp.int32),
+            pltpu.VMEM((TB, NCOL), jnp.int32),
+            pltpu.VMEM((STG3, NCOL), jnp.int32),
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2 * n_rows,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_rows = capacity + STG3 + 8
+    with jax.enable_x64(False):
+        o_t, stats = pl.pallas_call(
+            _make_kernel_v3_multi(n_rows),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, NCOL), jnp.int32),
+                jax.ShapeDtypeStruct((8,), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(scal, a_t, b_t)
+    return o_t, stats
+
+
+def accumulate_multi_pallas_v3(arena, spawn_keys, spawn_vals, spawn_rows,
+                               spawn_ini, *, interpret: bool = False):
+    """Drop-in for ``pallas_merge.accumulate_multi_pallas`` via the v3
+    networks (per-spawn destination rows, initiator occupancy checked
+    against the spawn's own row)."""
+    from fries_tpu.runtime import arena as arena_mod
+
+    c, w = arena.keys.shape
+    r = arena.n_vecs
+    assert r <= 13, "pallas accumulate_multi supports <= 13 value rows"
+    assert dets.packable(w), "pallas accumulate_multi needs packable keys"
+    s = spawn_keys.shape[0]
+
+    a_kh, a_kl = split_key(arena.keys)
+    pad = jnp.zeros((TB,), jnp.int32)
+    sh, sl = split_key(dets.invalid_det(w)[None, :])
+
+    def widen(cols, n):
+        data = jnp.stack(cols, axis=1)
+        return jnp.concatenate(
+            [data, jnp.zeros((n + TB, NCOL - len(cols)), jnp.int32)],
+            axis=1)
+
+    a_cols = [
+        jnp.concatenate([a_kh, jnp.full((TB,), sh[0], jnp.int32)]),
+        jnp.concatenate([a_kl, jnp.full((TB,), sl[0], jnp.int32)]),
+    ]
+    for i in range(r):
+        vh_i, vl_i = split_val(arena.vals[i].astype(jnp.float64))
+        a_cols.append(jnp.concatenate([_f2i(vh_i), pad]))
+        a_cols.append(jnp.concatenate([_f2i(vl_i), pad]))
+    a_t = widen(a_cols, c)
+
+    skey = dets.pack_key(spawn_keys)
+    skey_s, sval_s, sini_s, srow_s = lax.sort(
+        [skey, spawn_vals.astype(jnp.float64),
+         spawn_ini.astype(jnp.int32), spawn_rows.astype(jnp.int32)],
+        num_keys=1, is_stable=True)
+    s_kh = (skey_s >> jnp.int64(32)).astype(jnp.int32)
+    s_kl = lax.bitcast_convert_type(
+        (skey_s & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+        ^ jnp.uint32(0x80000000), jnp.int32)
+    s_vh, s_vl = split_val(sval_s)
+    s_valid = ~((s_kh == sh[0]) & (s_kl == sl[0]))
+    s_vh = jnp.where(s_valid, s_vh, 0.0)
+    s_vl = jnp.where(s_valid, s_vl, 0.0)
+    sini_s = jnp.where(s_valid, sini_s, 0)
+    srow_s = jnp.where(s_valid, jnp.clip(srow_s, 0, r - 1), 0)
+    b_t = widen([
+        jnp.concatenate([s_kh, jnp.full((TB,), sh[0], jnp.int32)]),
+        jnp.concatenate([s_kl, jnp.full((TB,), sl[0], jnp.int32)]),
+        jnp.concatenate([_f2i(s_vh), pad]),
+        jnp.concatenate([_f2i(s_vl), pad]),
+        jnp.concatenate([sini_s, pad]),
+        jnp.concatenate([srow_s, pad]),
+        jnp.arange(s + TB, dtype=jnp.int32),
+    ], s)
+    b_t = jnp.flip(b_t, axis=0)
+
+    n_a = jnp.sum(arena.valid, dtype=jnp.int32)
+    n_s = jnp.sum(s_valid, dtype=jnp.int32)
+
+    o_t, kstats = _merge_call_v3_multi(a_t, b_t, n_a, n_s, c, w, r,
+                                       interpret)
+
+    n_out = kstats[0]
+    overflow = kstats[1] > 0
+    live = jnp.arange(c, dtype=jnp.int32) < jnp.minimum(n_out, c)
+    kh = jnp.where(live, o_t[:c, 0], sh[0])
+    kl = jnp.where(live, o_t[:c, 1], sl[0])
+    keys = unsplit_key(kh, kl, w)
+
+    def decode(hi_col, lo_col):
+        v = (_i2f_host(o_t[:c, hi_col]).astype(jnp.float64)
+             + _i2f_host(o_t[:c, lo_col]).astype(jnp.float64))
+        return jnp.where(live, v, 0.0)
+
+    vals = jnp.stack(
+        [decode(2 + 2 * i, 3 + 2 * i) for i in range(r)]
+    ).astype(arena.vals.dtype)
+    new_arena = arena_mod.Arena(
+        keys=keys, vals=vals, n_used=jnp.minimum(n_out, c)[None])
+    return new_arena, {"overflow": overflow,
+                       "nonini_occ_add": kstats[2]}
 
 
 def accumulate_pallas_v3(arena, spawn_keys, spawn_vals, spawn_ini,

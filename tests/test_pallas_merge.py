@@ -167,9 +167,10 @@ def test_two_row_power_layout(trial, version):
             np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
 @pytest.mark.parametrize("n_rows", [2, 3])
 @pytest.mark.parametrize("trial", range(2))
-def test_multi_row_matches_xla(n_rows, trial):
+def test_multi_row_matches_xla(n_rows, trial, version):
     """Per-spawn destination rows (subspace layout) vs accumulate_multi."""
     rng = np.random.default_rng(60 + 10 * n_rows + trial)
     capacity = 1024
@@ -187,7 +188,7 @@ def test_multi_row_matches_xla(n_rows, trial):
         rng.integers(0, n_rows, size=sv.shape[0]), jnp.int32)
     ref, rstats = arena_mod.accumulate_multi(a, sk, sv, srows, si)
     got, gstats = pallas_merge.accumulate_multi_pallas(
-        a, sk, sv, srows, si, interpret=True)
+        a, sk, sv, srows, si, interpret=True, version=version)
     assert bool(gstats["overflow"]) == bool(rstats["overflow"])
     assert int(gstats["nonini_occ_add"]) == int(rstats["nonini_occ_add"])
     assert int(got.n_used[0]) == int(ref.n_used[0])

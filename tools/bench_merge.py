@@ -79,7 +79,7 @@ def main():
     args = ap.parse_args()
 
     print(f"# backend={jax.default_backend()} tile={pm.TILE} "
-          f"kernel={'v1' if os.environ.get('FRIES_MERGE_KERNEL') == 'v1' else 'v2'}",
+          f"kernel={os.environ.get('FRIES_MERGE_KERNEL', 'v2')}",
           flush=True)
     a, sk, sv, si = make_inputs(args.cap, args.n_arena, args.ns)
 
