@@ -183,12 +183,14 @@ def _cumsum2(x):
 
 
 def _bitonic_merge(kh, kl, tie, payload):
-    """Sort the bitonic (R2, 128) sequence ascending by (kh, kl, tie).
+    """Sort the bitonic (rows, 128) sequence ascending by (kh, kl, tie).
 
     ``payload`` columns ride the compare-exchanges.  Returns the sorted
-    (kh, kl, tie, payload).
+    (kh, kl, tie, payload).  The kernels call this on the (RB, 128) low
+    half produced by :func:`_merge_low`; the (R2, 128) full window form is
+    kept for the interpret-mode unit tests.
     """
-    d = TB
+    d = kh.shape[0] * 128 // 2
     while d >= 1:
         pkh = _xor_shuffle(kh, d)
         pkl = _xor_shuffle(kl, d)
@@ -210,6 +212,27 @@ def _bitonic_merge(kh, kl, tie, payload):
         tie = jnp.where(swap, ptie, tie)
         payload = [jnp.where(swap, _xor_shuffle(c, d), c) for c in payload]
         d //= 2
+    return kh, kl, tie, payload
+
+
+def _merge_low(akh, akl, bkh, bkl, btie, pairs):
+    """Low half of the first bitonic-merge stage over the two (RB, 128)
+    tiles (arena window ascending, spawn window descending).
+
+    Stage d=TB of the network on ``concat(A, B)`` compares A[p] with B[p]
+    elementwise and the low half keeps the TB smallest elements — so the
+    concatenated (R2, 128) window never needs to exist (Mosaic cannot
+    lower ``tpu.concatenate`` of tiles whose lazy column-slice layouts
+    carry different lane offsets), and the remaining stages run on half
+    the rows.  Arena rows take tie = -1 (< any spawn rank), so on equal
+    keys A wins without consulting the tie column.  ``pairs`` is a list of
+    (a_side, b_side) payload columns.  Returns (kh, kl, tie, payload).
+    """
+    swap = (bkh < akh) | ((bkh == akh) & (bkl < akl))
+    kh = jnp.where(swap, bkh, akh)
+    kl = jnp.where(swap, bkl, akl)
+    tie = jnp.where(swap, btie, jnp.int32(-1))
+    payload = [jnp.where(swap, b, a) for a, b in pairs]
     return kh, kl, tie, payload
 
 
@@ -288,32 +311,31 @@ def _kernel_v3(scal, a_ref, b_ref, o_ref, stats_ref,
             return bwin[:, c:c + 1].reshape(RB, 128)
 
         zero = jnp.zeros((RB, 128), jnp.int32)
-        kh = jnp.concatenate([col_a(0), col_b(0)])
-        kl = jnp.concatenate([col_a(1), col_b(1)])
-        tie = jnp.concatenate([zero - 1, col_b(5)])
-        gh = jnp.concatenate([col_a(2), zero])      # gate pair (arena only)
-        gl = jnp.concatenate([col_a(3), zero])
-        vh = jnp.concatenate([col_a(4), col_b(2)])  # dest contribution
-        vl = jnp.concatenate([col_a(5), col_b(3)])
-        ini = jnp.concatenate([zero, col_b(4)])
-        prot = jnp.concatenate([col_a(6), zero])
+        kh, kl, tie, (gh, gl, vh, vl, ini, prot) = _merge_low(
+            col_a(0), col_a(1), col_b(0), col_b(1), col_b(5),
+            [(col_a(2), zero),       # gate pair (arena only)
+             (col_a(3), zero),
+             (col_a(4), col_b(2)),   # dest contribution
+             (col_a(5), col_b(3)),
+             (zero, col_b(4)),       # ini
+             (col_a(6), zero)])      # prot
 
         kh, kl, tie, (gh, gl, vh, vl, ini, prot) = _bitonic_merge(
             kh, kl, tie, [gh, gl, vh, vl, ini, prot])
 
         # ---- consumed slice: the TB smallest merged elements ----
-        mk_h, mk_l, m_tie = kh[:RB], kl[:RB], tie[:RB]
+        mk_h, mk_l, m_tie = kh, kl, tie
         filled = ~((mk_h == sent_h) & (mk_l == sent_l))
         is_arena = (m_tie < 0) & filled
         is_spawn = (m_tie >= 0) & filled
         n_cons_a = _count(is_arena)
         n_cons_b = _count(is_spawn)
-        m_ini = (ini[:RB] > 0) & is_spawn
-        m_prot = (prot[:RB] > 0) & is_arena
-        mg_h = lax.bitcast_convert_type(gh[:RB], jnp.float32)
-        mg_l = lax.bitcast_convert_type(gl[:RB], jnp.float32)
-        md_h = lax.bitcast_convert_type(vh[:RB], jnp.float32)
-        md_l = lax.bitcast_convert_type(vl[:RB], jnp.float32)
+        m_ini = (ini > 0) & is_spawn
+        m_prot = (prot > 0) & is_arena
+        mg_h = lax.bitcast_convert_type(gh, jnp.float32)
+        mg_l = lax.bitcast_convert_type(gl, jnp.float32)
+        md_h = lax.bitcast_convert_type(vh, jnp.float32)
+        md_l = lax.bitcast_convert_type(vl, jnp.float32)
 
         # ---- segment machinery (identical semantics to v2) ----
         pk_h = _shift_down2(mk_h, 1, ckey[0])
@@ -387,12 +409,12 @@ def _kernel_v3(scal, a_ref, b_ref, o_ref, stats_ref,
         e_kh = jnp.where(vmask, e_kh, sent_h)
         e_kl = jnp.where(vmask, e_kl, sent_l)
 
-        stg[:, 0:1] = _stg_col(e_kh, sent_h)
-        stg[:, 1:2] = _stg_col(e_kl, sent_l)
-        stg[:, 2:3] = _stg_col(e_gh, jnp.int32(0))
-        stg[:, 3:4] = _stg_col(e_gl, jnp.int32(0))
-        stg[:, 4:5] = _stg_col(e_vh, jnp.int32(0))
-        stg[:, 5:6] = _stg_col(e_vl, jnp.int32(0))
+        _stg_write(stg, 0, e_kh, sent_h)
+        _stg_write(stg, 1, e_kl, sent_l)
+        _stg_write(stg, 2, e_gh, jnp.int32(0))
+        _stg_write(stg, 3, e_gl, jnp.int32(0))
+        _stg_write(stg, 4, e_vh, jnp.int32(0))
+        _stg_write(stg, 5, e_vl, jnp.int32(0))
 
         oi = st[2]
         ok = oi <= cap
@@ -451,21 +473,22 @@ def _kernel_v3(scal, a_ref, b_ref, o_ref, stats_ref,
             stats_ref[i] = 0
 
 
-def _stg_col(x, sent):
-    """(RB, 128) packed column -> (STG3, 1) staging column (tail = sent).
+def _stg_write(stg, c, x, sent):
+    """Store the (RB, 128) packed column ``x`` into staging column ``c`` as
+    (STG3, 1) rows (element pos = r*128 + lane -> row pos; tail = sent).
 
     Mosaic cannot lower the direct (RB, 128) -> (TB, 1) shape cast (nor a
-    sublane-lane transpose), so the layout change is a rolled select: build
-    rep[p, :] = x[p // 128, :] with RB range selects, then reduce the lane
-    matching p %% 128 (verified lowerable by tools/probe_reshape.py)."""
-    s_out = lax.broadcasted_iota(jnp.int32, (STG3, 1), 0)
-    lane = lax.broadcasted_iota(jnp.int32, (STG3, 128), 1)
-    rep = jnp.full((STG3, 128), sent, jnp.int32)
+    sublane-lane transpose), so each 128-row block is transposed as a
+    single-vreg masked lane-reduce: block r = sum_l eye[i, l] * x[r, l].
+    This works per (128, 128) tile instead of materializing (STG3, 128)
+    temporaries per row-select (the original rolled-select form cost
+    ~10 us/column/step and dominated the kernel)."""
+    eye = _iota2((128, 128), 0) == _iota2((128, 128), 1)
     for r in range(RB):
-        in_r = (s_out >= r * 128) & (s_out < (r + 1) * 128)
-        rep = jnp.where(in_r, x[r:r + 1, :], rep)
-    return jnp.sum(jnp.where(lane == s_out % 128, rep, 0),
-                   axis=1, keepdims=True)
+        blk = jnp.sum(jnp.where(eye, x[r:r + 1, :], jnp.int32(0)),
+                      axis=1, keepdims=True)
+        stg[r * 128:(r + 1) * 128, c:c + 1] = blk
+    stg[TB:STG3, c:c + 1] = jnp.full((STG3 - TB, 1), sent, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("capacity", "n_words", "interpret"))
@@ -578,38 +601,32 @@ def _make_kernel_v3_multi(r):
                 return bwin[:, c:c + 1].reshape(RB, 128)
 
             zero = jnp.zeros((RB, 128), jnp.int32)
-            kh = jnp.concatenate([col_a(0), col_b(0)])
-            kl = jnp.concatenate([col_a(1), col_b(1)])
-            tie = jnp.concatenate([zero - 1, col_b(6)])
             b_row = col_b(5)
-            pairs = []
+            val_pairs = []
             for i in range(r):
                 sel = b_row == i
-                pairs.append(jnp.concatenate(
-                    [col_a(2 + 2 * i),
-                     jnp.where(sel, col_b(2), jnp.int32(0))]))
-                pairs.append(jnp.concatenate(
-                    [col_a(3 + 2 * i),
-                     jnp.where(sel, col_b(3), jnp.int32(0))]))
-            ini = jnp.concatenate([zero, col_b(4)])
-            rowc = jnp.concatenate([zero - 1, b_row])
+                val_pairs.append((col_a(2 + 2 * i),
+                                  jnp.where(sel, col_b(2), jnp.int32(0))))
+                val_pairs.append((col_a(3 + 2 * i),
+                                  jnp.where(sel, col_b(3), jnp.int32(0))))
+            kh, kl, tie, moved = _merge_low(
+                col_a(0), col_a(1), col_b(0), col_b(1), col_b(6),
+                val_pairs + [(zero, col_b(4)), (zero - 1, b_row)])
 
-            kh, kl, tie, moved = _bitonic_merge(
-                kh, kl, tie, pairs + [ini, rowc])
+            kh, kl, tie, moved = _bitonic_merge(kh, kl, tie, moved)
             pairs, ini, rowc = moved[:2 * r], moved[2 * r], moved[2 * r + 1]
 
-            mk_h, mk_l, m_tie = kh[:RB], kl[:RB], tie[:RB]
+            mk_h, mk_l, m_tie = kh, kl, tie
             filled = ~((mk_h == sent_h) & (mk_l == sent_l))
             is_arena = (m_tie < 0) & filled
             is_spawn = (m_tie >= 0) & filled
             n_cons_a = _count(is_arena)
             n_cons_b = _count(is_spawn)
-            m_ini = (ini[:RB] > 0) & is_spawn
-            m_row = rowc[:RB]
-            pv_h = [lax.bitcast_convert_type(pairs[2 * i][:RB], jnp.float32)
+            m_ini = (ini > 0) & is_spawn
+            m_row = rowc
+            pv_h = [lax.bitcast_convert_type(pairs[2 * i], jnp.float32)
                     for i in range(r)]
-            pv_l = [lax.bitcast_convert_type(pairs[2 * i + 1][:RB],
-                                             jnp.float32)
+            pv_l = [lax.bitcast_convert_type(pairs[2 * i + 1], jnp.float32)
                     for i in range(r)]
 
             pk_h = _shift_down2(mk_h, 1, ckey[0])
@@ -671,8 +688,8 @@ def _make_kernel_v3_multi(r):
             vmask = pos < n_emit
             e_kh = jnp.where(vmask, e_kh, sent_h)
             e_kl = jnp.where(vmask, e_kl, sent_l)
-            stg[:, 0:1] = _stg_col(e_kh, sent_h)
-            stg[:, 1:2] = _stg_col(e_kl, sent_l)
+            _stg_write(stg, 0, e_kh, sent_h)
+            _stg_write(stg, 1, e_kl, sent_l)
             for i in range(2 * r):
                 # scalar f32 bitcasts don't lower; inject the carry as a
                 # vector select on slot 0 (see _carry_val in _kernel_v3)
@@ -681,7 +698,7 @@ def _make_kernel_v3_multi(r):
                     packed[2 + i])
                 e_v = jnp.where(fmask & slot0,
                                 _f2i_k(jnp.full((RB, 128), cval[i])), e_v)
-                stg[:, 2 + i:3 + i] = _stg_col(e_v, jnp.int32(0))
+                _stg_write(stg, 2 + i, e_v, jnp.int32(0))
 
             oi = st[2]
             ok = oi <= cap
