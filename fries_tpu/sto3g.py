@@ -129,15 +129,55 @@ def nuclear_repulsion(centers, charges=None):
     return e
 
 
-def h_chain(bond_length: float, n_atoms: int = 2):
+def rhf(s, hcore_ao, eri_chem, n_elec, max_iter=300, tol=1e-10, damp=0.3):
+    """Closed-shell restricted Hartree-Fock in the AO basis.
+
+    Returns (C, e_hf_electronic): MO coefficients (AO x MO, occupied
+    first) and the converged electronic HF energy.  Plain Roothaan
+    iterations with density damping — adequate for the small s-orbital
+    systems this module targets.  (The reference consumes HF-canonical
+    integrals prepared externally, e.g. Input_Data sys_params.txt
+    hf_energy + hcore/eris files; this makes the framework able to
+    prepare its own.)
+    """
+    n_occ = n_elec // 2
+    evals, evecs = np.linalg.eigh(s)
+    x = evecs @ np.diag(evals ** -0.5) @ evecs.T
+    c = None
+    d = np.zeros_like(s)
+    e_old = 0.0
+    for it in range(max_iter):
+        g = (np.einsum("ijkl,kl->ij", eri_chem, d, optimize=True)
+             - 0.5 * np.einsum("ikjl,kl->ij", eri_chem, d, optimize=True))
+        f = hcore_ao + g
+        e_el = 0.5 * np.sum(d * (hcore_ao + f))
+        fp = x.T @ f @ x
+        _, cp = np.linalg.eigh(fp)
+        c = x @ cp
+        d_new = 2.0 * c[:, :n_occ] @ c[:, :n_occ].T
+        d = d_new if it == 0 else (1.0 - damp) * d_new + damp * d
+        if abs(e_el - e_old) < tol and it > 1:
+            break
+        e_old = e_el
+    return c, e_el
+
+
+def h_chain(bond_length: float, n_atoms: int = 2, basis: str = "lowdin"):
     """Linear H_n chain at uniform ``bond_length`` (bohr) ->
-    (MolecularHamiltonian, core_energy).  Orbitals are Löwdin-orthogonalized
-    AOs (symmetric S^{-1/2}); eris stored physicist ``<pq|rs>``."""
+    (MolecularHamiltonian, core_energy).  ``basis="lowdin"`` uses
+    symmetric-orthogonalized AOs (S^{-1/2}; no SCF, FCI energy identical);
+    ``basis="rhf"`` uses canonical RHF molecular orbitals — the reference's
+    production setting (its HF determinant is the FRI/FCIQMC starting and
+    trial state, so a concentrated wavefunction needs HF-canonical
+    orbitals).  eris stored physicist ``<pq|rs>``."""
     centers = np.zeros((n_atoms, 3))
     centers[:, 2] = bond_length * np.arange(n_atoms)
     s, t, v, eri_chem = integrals(centers)
-    evals, evecs = np.linalg.eigh(s)
-    x = evecs @ np.diag(evals ** -0.5) @ evecs.T  # Löwdin S^{-1/2}
+    if basis == "rhf":
+        x, _ = rhf(s, t + v, eri_chem, n_atoms)
+    else:
+        evals, evecs = np.linalg.eigh(s)
+        x = evecs @ np.diag(evals ** -0.5) @ evecs.T  # Löwdin S^{-1/2}
     hcore = x.T @ (t + v) @ x
     eri = np.einsum("ijkl,ip,jq,kr,ls->pqrs", eri_chem, x, x, x, x,
                     optimize=True)

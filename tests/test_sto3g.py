@@ -69,3 +69,34 @@ def test_h6_chain_frisys_energy():
     bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = bm.std() / np.sqrt(len(bm))
     assert abs(e_est - e0) < max(5 * sigma, 0.01), (e_est, e0, sigma)
+
+
+def test_rhf_matches_literature_and_slater_condon():
+    """RHF on H2/STO-3G reproduces the Szabo-Ostlund HF energy; the
+    HF-determinant Slater-Condon diagonal in the canonical-MO basis equals
+    the converged SCF electronic energy (cross-validates rhf() against the
+    framework's own matrix elements); FCI is basis-invariant."""
+    centers = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.4]])
+    s, t, v, eri = sto3g.integrals(centers)
+    _, e_el = sto3g.rhf(s, t + v, eri, 2)
+    enuc = sto3g.nuclear_repulsion(centers)
+    assert abs((e_el + enuc) - (-1.11671)) < 5e-5
+
+    ham, enuc4 = sto3g.h_chain(1.8, 4, basis="rhf")
+    hf_diag = float(mol.hf_reference(ham)[2])
+    s4, t4, v4, eri4 = sto3g.integrals(
+        np.stack([[0.0, 0.0, 1.8 * i] for i in range(4)])
+    )
+    _, e4 = sto3g.rhf(s4, t4 + v4, eri4, 4)
+    assert abs(hf_diag - e4) < 1e-8
+
+    H, _ = dense_fci.build_hamiltonian(
+        np.asarray(ham.hcore), np.asarray(ham.eris), 4, 2, 2
+    )
+    e_rhf_basis, _ = dense_fci.ground_state(H)
+    ham_l, _ = sto3g.h_chain(1.8, 4, basis="lowdin")
+    H_l, _ = dense_fci.build_hamiltonian(
+        np.asarray(ham_l.hcore), np.asarray(ham_l.eris), 4, 2, 2
+    )
+    e_lowdin_basis, _ = dense_fci.ground_state(H_l)
+    assert abs(e_rhf_basis - e_lowdin_basis) < 1e-9

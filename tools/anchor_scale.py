@@ -109,6 +109,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_orb", type=int, default=12)
     ap.add_argument("--n_elec", type=int, default=6)
+    ap.add_argument("--h_chain", type=float, default=None,
+                    help="real-molecule mode: linear H_{n_orb} chain at this "
+                         "bond length (bohr) from the hand-rolled STO-3G "
+                         "integrals (fries_tpu/sto3g.py) instead of the "
+                         "random synthetic system; n_elec = n_orb")
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--iters", type=int, default=12000)
     ap.add_argument("--burn", type=int, default=2000)
@@ -116,6 +121,7 @@ def main():
     ap.add_argument("--vec_nonz", type=int, default=20000)
     ap.add_argument("--matr_samp", type=int, default=100000)
     ap.add_argument("--lanczos_m", type=int, default=80)
+    ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--eps", type=float, default=0.02)
     ap.add_argument("--scan", type=int, default=25,
                     help="iterations per on-device scan: long scan programs "
@@ -126,9 +132,10 @@ def main():
     ap.add_argument("--e0", type=float, default=None,
                     help="skip Lanczos, use this exact ground-state energy "
                          "(must match n_orb/n_elec/seed; forces trial_k=0)")
-    ap.add_argument("--cache", default="/tmp/anchor_lanczos.npz",
+    ap.add_argument("--cache", default=None,
                     help="cache file for the Lanczos solve (e0 + Ritz "
-                         "vector + basis)")
+                         "vector + basis); default is derived from the "
+                         "system parameters")
     ap.add_argument("--trial_k", type=int, default=256,
                     help="estimator trial vector = the top-k components of "
                          "the Lanczos Ritz vector (the production analogue "
@@ -139,9 +146,27 @@ def main():
     from fries_tpu import stats, synth
     from fries_tpu.drivers import frisys
 
-    ham = synth.make_system(args.n_orb, args.n_elec, seed=args.seed,
-                            scale_two=0.1)
+    core_energy = 0.0
+    if args.h_chain is not None:
+        from fries_tpu import sto3g
+
+        args.n_elec = args.n_orb
+        ham, core_energy = sto3g.h_chain(args.h_chain, args.n_orb,
+                                         basis="rhf")
+        print(f"# H{args.n_orb} chain R={args.h_chain} bohr (RHF MOs) "
+              f"E_nuc={core_energy:.6f}", flush=True)
+    else:
+        ham = synth.make_system(args.n_orb, args.n_elec, seed=args.seed,
+                                scale_two=0.1)
     half = args.n_elec // 2
+    if args.cache is None:
+        tag = (f"h{args.n_orb}_r{args.h_chain}" if args.h_chain is not None
+               else f"synth{args.n_orb}_{args.n_elec}_s{args.seed}")
+        args.cache = f"/tmp/anchor_lanczos_{tag}.npz"
+        if (args.h_chain is None and args.n_orb == 12 and args.n_elec == 6
+                and args.seed == 5
+                and os.path.exists("/tmp/anchor_lanczos.npz")):
+            args.cache = "/tmp/anchor_lanczos.npz"  # pre-rename cache
 
     t0 = time.time()
     ritz = None
@@ -181,7 +206,7 @@ def main():
 
     cfg = frisys.FrisysConfig(
         eps=args.eps, vec_nonz=args.vec_nonz, matr_samp=args.matr_samp,
-        capacity=1 << 17, spawn_cap=4 * args.matr_samp,
+        capacity=args.capacity, spawn_cap=4 * args.matr_samp,
         target_norm=2.0 * args.vec_nonz, init_thresh=1.0,
     )
     step, run_steps, state, aux = frisys.build(ham, cfg, seed=args.seed + 1,
@@ -209,6 +234,10 @@ def main():
                                  burn_in=args.burn)
     result = {
         "dim": dim,
+        "system": (f"H{args.n_orb}/STO-3G R={args.h_chain}"
+                   if args.h_chain is not None
+                   else f"synth-{args.n_orb}o{args.n_elec}e"),
+        "e_total": e0 + core_energy,
         "lanczos_e0": e0,
         "e_ref": float(aux["e_ref"]),
         "exact_corr": exact_corr,
