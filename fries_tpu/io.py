@@ -61,18 +61,21 @@ def invert_symm(labels: np.ndarray, point_group: str) -> np.ndarray:
     return np.asarray([inv[int(l)] for l in labels], np.int64)
 
 
-def parse_fcidump(path, point_group: str = "C1"):
+def parse_fcidump(path, point_group: str = "C1", native: bool | None = None):
     """Parse an FCIDUMP file into (MolecularHamiltonian, core_energy).
 
     Integral records are chemist-notation (ij|kl); the dense physicist tensor
-    is filled over all 8 symmetry images.
+    is filled over all 8 symmetry images.  The record body is parsed by the
+    native C++ reader (fries_tpu.native, the analogue of the reference's C++
+    ingest in io_utils.cpp:241-318) when available; ``native=False`` forces
+    the pure-Python loop, ``native=True`` requires the library.
     """
-    text = Path(path).read_text()
-    header_end = text.find("&END")
+    raw = Path(path).read_bytes()
+    header_end = raw.find(b"&END")
     if header_end < 0:
-        header_end = text.find("/")
-    header = text[:header_end]
-    body = text[header_end:].split("\n", 1)[1]
+        header_end = raw.find(b"/")
+    header = raw[:header_end].decode()
+    body_off = raw.find(b"\n", header_end) + 1
 
     def field(name):
         m = re.search(name + r"\s*=\s*([0-9]+)", header)
@@ -92,6 +95,32 @@ def parse_fcidump(path, point_group: str = "C1"):
         raise ValueError("ORBSYM length does not match NORB")
     symm = convert_symm(orbsym, point_group)
 
+    parsed = None
+    if native is not False:
+        from fries_tpu import native as _native
+
+        parsed = _native.parse_fcidump_body(path, body_off, n_orb)
+        if native is True and parsed is None:
+            raise RuntimeError("native FCIDUMP parser unavailable")
+    if parsed is not None:
+        hcore, eris_chem, core_energy = parsed
+    else:
+        hcore, eris_chem, core_energy = _parse_fcidump_body_py(
+            raw[body_off:].decode(), n_orb
+        )
+    eris_phys = np.transpose(eris_chem, (0, 2, 1, 3))
+    ham = mol.MolecularHamiltonian(
+        hcore=jnp.asarray(hcore),
+        eris=jnp.asarray(eris_phys),
+        symm=jnp.asarray(symm),
+        n_orb=n_orb,
+        n_elec=n_elec,
+    )
+    return ham, core_energy
+
+
+def _parse_fcidump_body_py(body: str, n_orb: int):
+    """Pure-Python FCIDUMP record loop (fallback for fries_tpu.native)."""
     hcore = np.zeros((n_orb, n_orb))
     eris_chem = np.zeros((n_orb,) * 4)
     core_energy = 0.0
@@ -115,15 +144,7 @@ def parse_fcidump(path, point_group: str = "C1"):
             for a, b in ((i, j), (j, i)):
                 for c, d in ((k, l), (l, k)):
                     eris_chem[a, b, c, d] = eris_chem[c, d, a, b] = val
-    eris_phys = np.transpose(eris_chem, (0, 2, 1, 3))
-    ham = mol.MolecularHamiltonian(
-        hcore=jnp.asarray(hcore),
-        eris=jnp.asarray(eris_phys),
-        symm=jnp.asarray(symm),
-        n_orb=n_orb,
-        n_elec=n_elec,
-    )
-    return ham, core_energy
+    return hcore, eris_chem, core_energy
 
 
 def write_fcidump(ham: mol.MolecularHamiltonian, path, point_group: str = "C1",
@@ -241,9 +262,23 @@ def parse_hh_input(path):
 # ---------------------------------------------------------------------------
 
 def read_dets(path, n_bits):
-    """Determinants stored as decimal <=64-bit integers, one per line."""
-    masks = [int(l) for l in Path(path).read_text().split()]
+    """Determinants stored as decimal <=64-bit integers, one per line.
+
+    Bulk-parsed by the native reader when available and the masks fit one
+    u64 (fries_tpu.native.parse_u64); Python big-int loop otherwise."""
     n_words = dets.n_words(n_bits)
+    if n_bits <= 64:
+        from fries_tpu import native as _native
+
+        masks64 = _native.parse_u64(path)
+        if masks64 is not None:
+            out = np.zeros((len(masks64), n_words), np.uint32)
+            for w in range(n_words):
+                out[:, w] = (masks64 >> np.uint64(32 * w)).astype(
+                    np.uint64
+                ).astype(np.uint32)
+            return out
+    masks = [int(l) for l in Path(path).read_text().split()]
     out = np.zeros((len(masks), n_words), np.uint32)
     for i, m in enumerate(masks):
         for w in range(n_words):
@@ -251,12 +286,21 @@ def read_dets(path, n_bits):
     return out
 
 
+def _read_floats(path):
+    """All whitespace-separated floats in a file (native bulk reader with a
+    Python fallback)."""
+    from fries_tpu import native as _native
+
+    vals = _native.parse_doubles(path)
+    if vals is not None:
+        return vals
+    return np.asarray([float(x) for x in Path(path).read_text().split()])
+
+
 def load_vec_txt(prefix, n_bits):
     """Load <prefix>dets + <prefix>vals text files -> (keys (N, W), vals)."""
     keys = read_dets(str(prefix) + "dets", n_bits)
-    vals = np.asarray(
-        [float(x) for x in Path(str(prefix) + "vals").read_text().split()]
-    )
+    vals = _read_floats(str(prefix) + "vals")
     n = min(len(keys), len(vals))
     return keys[:n], vals[:n]
 
@@ -322,7 +366,7 @@ def load_vec_dice(path, n_orb, n_bits, state: int = 0):
 def load_rdm(path):
     """Whitespace-separated numeric file -> flat float array
     (reference load_rdm, io_utils.cpp:621-633)."""
-    return np.asarray([float(x) for x in Path(path).read_text().split()])
+    return _read_floats(path)
 
 
 def load_last_line(path):
