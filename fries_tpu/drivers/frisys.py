@@ -56,6 +56,14 @@ class FrisysConfig:
     stage_f32: bool = True  # hold comp_sub probability rows in f32 (halves
                             # the dominant (S, K) stage bandwidth; norms, grid
                             # positions, values and estimators stay f64)
+    fuse_ab: bool = True    # fuse levels A (single-vs-double) and B (o1 /
+                            # allowed-electron rank) into ONE comp_sub over a
+                            # joint (2 n_elec)-column row: same per-chain
+                            # masses (see spawn), one fewer serial
+                            # fixpoint+emission+remap round, and no budget
+                            # spent on singles with zero allowed targets.
+                            # False restores the reference's 5-level
+                            # structure (apply_HBPP_sys levels 1+2 separate).
     emit_chunk: int = 0     # chunk comp_sub's output-slot inversion (bounds
                             # the (chunk, K) emission temporaries at 1e6+ S)
     axis_name: str | None = None
@@ -147,22 +155,10 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         keys5 = jax.random.split(jax.random.fold_in(key, 77), 5)
         overflow = jnp.bool_(False)
 
-        # ---------------- level A: single vs double ----------------
-        ndiv = jnp.zeros((c,), jnp.int32)
-        subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
-        maskA = jnp.ones((c, 2), bool)
-        val, parent, sub, _, ovf = _stage(
-            0, absv, ndiv, jnp.where(maskA, subw, 0.0), m_samp, rns, keys5, 0
-        )
-        overflow |= ovf
-        det_idx = jnp.where(parent >= 0, parent, 0)
-        live = parent >= 0
-        is_doub = (sub == 0) & live
-
         # one consolidated (C, E+W) arena payload: occ + bitcast keys,
-        # fetched ONCE at level A and then carried through the per-level
-        # metadata remaps - one row gather per level total instead of
-        # metadata remap + arena re-gather (f64 vals stay out: the TPU x64
+        # fetched ONCE after the first stage and then carried through the
+        # per-level metadata remaps - one row gather per level total instead
+        # of metadata remap + arena re-gather (f64 vals stay out: the TPU x64
         # rewriter cannot lower f64<->i32 bitcasts)
         from jax import lax as _lax
 
@@ -191,42 +187,114 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             nc = len(cols)
             return [m[:, i] for i in range(nc)], m[:, nc:]
 
-        # ---------------- level B: o1 (doubles) / allowed count (singles) ---
-        prow = apay[det_idx]
-        s_occ, s_keys, occ_bits = unpack_prow(prow)
-        counts = hb.unocc_symm_counts(
-            n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
-        )
-        per_elec, n_occ_allowed = hb.sing_allowed(n_orb, n_elec, symm, counts, s_occ)
+        if cfg.fuse_ab:
+            # ------------- fused level A+B: joint (kind, o1 / rank) --------
+            # One comp_sub over a (C, 2E) row per arena determinant:
+            # columns [0, E) carry the double-branch mass
+            #   |v_i| * p_doub * P(o1 = slot e)      (calc_o1_probs),
+            # columns [E, 2E) the single-branch mass
+            #   |v_i| * (1 - p_doub) / n_allowed_i   (rank r < n_allowed_i).
+            # Chain masses are identical to the two-stage A->B form, so
+            # levels C-E and the finalize weights are untouched; the only
+            # statistical difference is one fewer intermediate resampling
+            # (never worse in variance) and no budget spent on singles from
+            # determinants with zero allowed targets (the two-stage form
+            # zeroes those AFTER level A has already charged the budget).
+            counts0 = hb.unocc_symm_counts(
+                n_orb, n_elec, symm, jnp.asarray(syminfo.counts), occ
+            )
+            _, n_alw0 = hb.sing_allowed(n_orb, n_elec, symm, counts0, occ)
+            probsB0, o1_norm0 = hb.o1_probs(tens, n_orb, occ)
+            if unnorm:
+                # exclude the first electron (o2 must lie below o1) and fold
+                # tot_weight = norm/s_norm into the branch mass
+                # (heat_bathPP.cpp:744-750)
+                excl = jnp.arange(n_elec, dtype=jnp.int32)[None, :] == 0
+                w_doub = jnp.where(excl, 0.0, probsB0 * o1_norm0[:, None]) * (
+                    p_doub / tens.s_norm
+                )
+            else:
+                w_doub = probsB0 * p_doub
+            r_cols = jnp.arange(n_elec, dtype=jnp.int32)[None, :]
+            w_sing = jnp.where(
+                r_cols < n_alw0[:, None],
+                (1.0 - p_doub)
+                / jnp.maximum(n_alw0, 1).astype(jnp.float64)[:, None],
+                0.0,
+            )
+            w_joint = jnp.concatenate([w_doub, w_sing], axis=1)
+            ndiv0 = jnp.zeros((c,), jnp.int32)
+            val, parent, sub, _, ovf = _stage(
+                1, absv, ndiv0, w_joint, m_samp, rns, keys5, 0
+            )
+            overflow |= ovf
+            live = parent >= 0
+            det_idx = jnp.where(live, parent, 0)
+            is_doub = live & (sub < n_elec)
+            o1_idx = jnp.where(is_doub, sub, 0)    # electron slot of o1
+            sing_rank = jnp.where(
+                ~is_doub & live, sub - n_elec, 0
+            )  # allowed-electron rank
+            prow = apay[det_idx]
+        else:
+            # ------------- level A: single vs double -----------------------
+            ndiv = jnp.zeros((c,), jnp.int32)
+            subw = jnp.tile(jnp.asarray([[p_doub, 1.0 - p_doub]]), (c, 1))
+            maskA = jnp.ones((c, 2), bool)
+            val, parent, sub, _, ovf = _stage(
+                0, absv, ndiv, jnp.where(maskA, subw, 0.0), m_samp, rns,
+                keys5, 0
+            )
+            overflow |= ovf
+            det_idx = jnp.where(parent >= 0, parent, 0)
+            live = parent >= 0
+            is_doub = (sub == 0) & live
 
-        probsB, o1_norm_frac = hb.o1_probs(tens, n_orb, s_occ)
-        if unnorm:
-            # exclude the first electron (o2 must lie below o1); fold the
-            # normalization fraction into the value (heat_bathPP.cpp:744-750)
-            excl = jnp.arange(n_elec, dtype=jnp.int32)[None, :] == 0
-            w = jnp.where(excl, 0.0, probsB * o1_norm_frac[:, None])
-            newnorm = jnp.sum(w, axis=-1, keepdims=True)
-            probsB = w / jnp.maximum(newnorm, 1e-300)
-            # the reference folds tot_weight = norm/s_norm into the value
-            # (heat_bathPP.cpp:746-749)
-            val = jnp.where(is_doub, val * (newnorm[:, 0] / tens.s_norm), val)
-        sing_ok = n_occ_allowed > 0
-        ndivB = jnp.where(is_doub, 0, jnp.maximum(n_occ_allowed, 1)).astype(jnp.int32)
-        valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
-        maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
-        val, parent, sub, _, ovf = _stage(
-            1, valB_in, ndivB, jnp.where(maskB, probsB, 0.0), m_samp, rns,
-            keys5, n_elec,
-        )
-        overflow |= ovf
-        live = parent >= 0
-        pidx = jnp.where(live, parent, 0)
-        (det_idx, d_i), prow = remap(
-            pidx, [det_idx, is_doub.astype(jnp.int32)], prow
-        )
-        is_doub = (d_i != 0) & live
-        o1_idx = jnp.where(is_doub, sub, 0)        # electron slot of o1
-        sing_rank = jnp.where(~is_doub & live, sub, 0)  # allowed-electron rank
+            # --------- level B: o1 (doubles) / allowed count (singles) -----
+            prow = apay[det_idx]
+            s_occ, s_keys, occ_bits = unpack_prow(prow)
+            counts = hb.unocc_symm_counts(
+                n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
+            )
+            per_elec, n_occ_allowed = hb.sing_allowed(
+                n_orb, n_elec, symm, counts, s_occ
+            )
+
+            probsB, o1_norm_frac = hb.o1_probs(tens, n_orb, s_occ)
+            if unnorm:
+                # exclude the first electron (o2 must lie below o1); fold the
+                # normalization fraction into the value
+                # (heat_bathPP.cpp:744-750)
+                excl = jnp.arange(n_elec, dtype=jnp.int32)[None, :] == 0
+                w = jnp.where(excl, 0.0, probsB * o1_norm_frac[:, None])
+                newnorm = jnp.sum(w, axis=-1, keepdims=True)
+                probsB = w / jnp.maximum(newnorm, 1e-300)
+                # the reference folds tot_weight = norm/s_norm into the value
+                # (heat_bathPP.cpp:746-749)
+                val = jnp.where(
+                    is_doub, val * (newnorm[:, 0] / tens.s_norm), val
+                )
+            sing_ok = n_occ_allowed > 0
+            ndivB = jnp.where(
+                is_doub, 0, jnp.maximum(n_occ_allowed, 1)
+            ).astype(jnp.int32)
+            valB_in = jnp.where(live & (is_doub | sing_ok), val, 0.0)
+            maskB = is_doub[:, None] & jnp.ones((s_cap, n_elec), bool)
+            val, parent, sub, _, ovf = _stage(
+                1, valB_in, ndivB, jnp.where(maskB, probsB, 0.0), m_samp, rns,
+                keys5, n_elec,
+            )
+            overflow |= ovf
+            live = parent >= 0
+            pidx = jnp.where(live, parent, 0)
+            (det_idx, d_i), prow = remap(
+                pidx, [det_idx, is_doub.astype(jnp.int32)], prow
+            )
+            is_doub = (d_i != 0) & live
+            o1_idx = jnp.where(is_doub, sub, 0)    # electron slot of o1
+            sing_rank = jnp.where(
+                ~is_doub & live, sub, 0
+            )  # allowed-electron rank
 
         # ---------------- level C: o2 (doubles) / virtual count (singles) ---
         s_occ, s_keys, occ_bits = unpack_prow(prow)
