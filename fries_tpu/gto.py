@@ -346,6 +346,386 @@ def molecule(symbols, centers, n_frozen: int = 0):
     return ham, core
 
 
+# ---------------------------------------------------------------------------
+# Vectorized McMurchie-Davidson engine for correlation-consistent bases
+# (cc-pVDZ class: 9-primitive general contractions, d shells, spherical
+# harmonics).  The scalar routines above are kept for the STO-3G path; the
+# batched engine below vectorizes over primitive pairs/quartets with NumPy,
+# which is what makes 9-primitive s contractions tractable (the scalar path
+# would evaluate ~6561 Python-loop primitives per (ss|ss) quartet).
+#
+# The reference consumes PySCF-generated integrals (Input_Data/
+# gen_ex_trials.py, io_utils.cpp:98-187); this engine replaces that external
+# dependency.  Validated against the reference's own surviving PySCF outputs
+# (hcore.txt / sys_params.txt hf_energy) in tests/test_ccpvdz.py.
+# ---------------------------------------------------------------------------
+
+# cartesian component orders per l (x-major, matching the w-factor and
+# spherical-transform tables below)
+_CART_COMPS = {
+    0: [(0, 0, 0)],
+    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
+}
+
+
+def _dfact(k):
+    """(2k-1)!!"""
+    r = 1
+    for i in range(2 * k - 1, 0, -2):
+        r *= i
+    return r
+
+
+def _comp_w(l, lmn):
+    """Norm ratio N(lmn)/N(l00): scales raw (l00-normalized) cartesian
+    components to unit-normalized ones.  Exponent-independent."""
+    from math import prod
+    return np.sqrt(_dfact(l) / prod(_dfact(c) for c in lmn))
+
+
+# real solid harmonics in terms of *unit-normalized* cartesian components,
+# PySCF m-order (-l..l); columns renormalized numerically afterwards so only
+# relative coefficients matter.
+_SPH_COEF = {
+    0: np.array([[1.0]]),
+    1: np.eye(3),  # (x, y, z)
+    2: np.array([
+        #  m=-2   m=-1   m=0    m=+1   m=+2     (rows: xx xy xz yy yz zz)
+        [0.0, 0.0, -0.5, 0.0, 1.0],
+        [1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, -0.5, 0.0, -1.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0],
+    ]),
+}
+
+# per-axis parity (mod 2) of each real solid harmonic, for point-group ops
+_SPH_PARITY = {
+    0: [(0, 0, 0)],
+    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    2: [(1, 1, 0), (0, 1, 1), (0, 0, 0), (1, 0, 1), (0, 0, 0)],
+}
+
+
+class Shell:
+    """One contracted shell: all cartesian components share the radial part.
+
+    ``coefs`` carry the (l,0,0)-cartesian primitive normalization."""
+
+    __slots__ = ("l", "center", "exps", "coefs", "atom")
+
+    def __init__(self, l, center, exps, coefs, atom):
+        self.l = l
+        self.center = np.asarray(center, float)
+        self.exps = np.asarray(exps, float)
+        lmn0 = (l, 0, 0)
+        self.coefs = np.asarray(coefs, float) * np.array(
+            [_prim_norm(*lmn0, a) for a in self.exps])
+        self.atom = atom
+
+
+def build_shells(symbols, centers, basis_name):
+    """((shells, charges)) for a molecule in a correlation-consistent basis."""
+    from fries_tpu import basis as basis_data
+
+    centers = np.atleast_2d(np.asarray(centers, float))
+    shells, charges = [], []
+    for ai, (sym, cen) in enumerate(zip(symbols, centers)):
+        z, shell_list = basis_data.get_shells(basis_name, sym)
+        charges.append(float(z))
+        for l, prims in shell_list:
+            exps = [e for e, _ in prims]
+            coefs = [c for _, c in prims]
+            shells.append(Shell(l, cen, exps, coefs, ai))
+    return shells, np.asarray(charges)
+
+
+def _boys_vec(nmax, x):
+    """Vectorized Boys functions: returns (nmax+1, *x.shape)."""
+    x = np.asarray(x, float)
+    small = x < 35.0
+    xs = np.where(small, x, 1.0)
+    s = np.full(xs.shape, 1.0 / (2 * nmax + 1))
+    term = s.copy()
+    for k in range(1, 220):
+        term = term * (2.0 * xs) / (2 * nmax + 2 * k + 1)
+        s = s + term
+    ex = np.exp(-xs)
+    fs = [None] * (nmax + 1)
+    fs[nmax] = ex * s
+    for n in range(nmax, 0, -1):
+        fs[n - 1] = (2.0 * xs * fs[n] + ex) / (2 * n - 1)
+    xl = np.where(small, 1.0, x)
+    f0l = 0.5 * np.sqrt(np.pi / xl) * erf(np.sqrt(xl))
+    exl = np.exp(-xl)
+    fl = [f0l]
+    for n in range(nmax):
+        fl.append(((2 * n + 1) * fl[n] - exl) / (2.0 * xl))
+    out = np.empty((nmax + 1,) + x.shape)
+    for n in range(nmax + 1):
+        out[n] = np.where(small, fs[n], fl[n])
+    return out
+
+
+class _PairData:
+    """Primitive-pair tables for one shell pair (flattened over (i,j))."""
+
+    __slots__ = ("p", "pcen", "coef", "efull", "la", "lb", "box")
+
+    def __init__(self, sha, shb):
+        la, lb = sha.l, shb.l
+        a = np.repeat(sha.exps, len(shb.exps))
+        b = np.tile(shb.exps, len(sha.exps))
+        coef = np.repeat(sha.coefs, len(shb.exps)) * np.tile(
+            shb.coefs, len(sha.exps))
+        npair = len(a)
+        p = a + b
+        q = a * b / p
+        pcen = (a[:, None] * sha.center + b[:, None] * shb.center) / p[:, None]
+        ab = sha.center - shb.center
+        # E tables per direction: (npair, la+1, lb+1, la+lb+1)
+        es = []
+        for d in range(3):
+            e = np.zeros((npair, la + 1, lb + 1, la + lb + 2))
+            e[:, 0, 0, 0] = np.exp(-q * ab[d] * ab[d])
+            for i in range(1, la + 1):
+                for t in range(i + 1):
+                    e[:, i, 0, t] = (
+                        (e[:, i - 1, 0, t - 1] / (2 * p) if t > 0 else 0.0)
+                        - q * ab[d] / a * e[:, i - 1, 0, t]
+                        + (t + 1) * e[:, i - 1, 0, t + 1]
+                    )
+            for j in range(1, lb + 1):
+                for i in range(la + 1):
+                    for t in range(i + j + 1):
+                        e[:, i, j, t] = (
+                            (e[:, i, j - 1, t - 1] / (2 * p) if t > 0 else 0.0)
+                            + q * ab[d] / b * e[:, i, j - 1, t]
+                            + (t + 1) * e[:, i, j - 1, t + 1]
+                        )
+            es.append(e)
+        # combined (npair, nca, ncb, nhx, nhy, nhz), contraction coefs folded
+        ca = _CART_COMPS[la]
+        cb = _CART_COMPS[lb]
+        nh = la + lb + 1
+        efull = np.zeros((npair, len(ca), len(cb), nh, nh, nh))
+        for ia, (ax, ay, az) in enumerate(ca):
+            for ib, (bx, by, bz) in enumerate(cb):
+                efull[:, ia, ib] = np.einsum(
+                    "nt,nu,nv->ntuv",
+                    es[0][:, ax, bx, : nh],
+                    es[1][:, ay, by, : nh],
+                    es[2][:, az, bz, : nh],
+                )
+        self.p = p
+        self.pcen = pcen
+        self.coef = coef
+        self.efull = efull * coef[:, None, None, None, None, None]
+        self.la, self.lb = la, lb
+        self.box = nh  # hermite box edge (same per axis)
+
+
+def _eri_quartet(pd1, pd2):
+    """Contracted cartesian ERI block (nca, ncb, ncc, ncd) for one shell
+    quartet from pair tables."""
+    n1, n2 = len(pd1.p), len(pd2.p)
+    ltot = pd1.la + pd1.lb + pd2.la + pd2.lb
+    p1 = pd1.p[:, None]
+    p2 = pd2.p[None, :]
+    alpha = p1 * p2 / (p1 + p2)
+    pq = pd1.pcen[:, None, :] - pd2.pcen[None, :, :]
+    x = alpha * np.einsum("abd,abd->ab", pq, pq)
+    f = _boys_vec(ltot, x)
+    pref = 2.0 * np.pi ** 2.5 / (p1 * p2 * np.sqrt(p1 + p2))
+    # R^n_000 with prefactor folded
+    rn = np.array([(-2.0 * alpha) ** n * f[n] for n in range(ltot + 1)])
+    rn = rn * pref[None]
+    b1, b2 = pd1.box, pd2.box
+    tmax = b1 + b2 - 2  # max per-axis hermite order
+    r = np.zeros((ltot + 1, tmax + 1, tmax + 1, tmax + 1, n1, n2))
+    r[:, 0, 0, 0] = rn
+    for t in range(tmax):
+        for n in range(ltot - t):
+            r[n, t + 1, 0, 0] = (t * r[n + 1, t - 1, 0, 0] if t > 0 else 0.0
+                                 ) + pq[..., 0] * r[n + 1, t, 0, 0]
+    for u in range(tmax):
+        for t in range(tmax + 1):
+            for n in range(ltot - t - u):
+                r[n, t, u + 1, 0] = (
+                    u * r[n + 1, t, u - 1, 0] if u > 0 else 0.0
+                ) + pq[..., 1] * r[n + 1, t, u, 0]
+    for v in range(tmax):
+        for u in range(tmax + 1):
+            for t in range(tmax + 1):
+                for n in range(ltot - t - u - v):
+                    r[n, t, u, v + 1] = (
+                        v * r[n + 1, t, u, v - 1] if v > 0 else 0.0
+                    ) + pq[..., 2] * r[n + 1, t, u, v]
+    r0 = r[0]  # (tmax+1, tmax+1, tmax+1, n1, n2)
+    # step 1: contract pair-2 hermite components
+    nca, ncb = pd1.efull.shape[1], pd1.efull.shape[2]
+    ncc, ncd = pd2.efull.shape[1], pd2.efull.shape[2]
+    k = np.zeros((n1, ncc, ncd, b1, b1, b1))
+    for t2 in range(b2):
+        for u2 in range(b2):
+            for v2 in range(b2):
+                e2 = pd2.efull[:, :, :, t2, u2, v2]
+                if not e2.any():
+                    continue
+                sign = -1.0 if (t2 + u2 + v2) % 2 else 1.0
+                rsl = r0[t2:t2 + b1, u2:u2 + b1, v2:v2 + b1]
+                k += sign * np.einsum("qcd,tuvpq->pcdtuv", e2, rsl,
+                                      optimize=True)
+    # step 2: contract pair-1
+    return np.einsum("pabtuv,pcdtuv->abcd", pd1.efull, k, optimize=True)
+
+
+def eri_cart(shells):
+    """Full cartesian contracted-ERI tensor (chemist (ij|kl)) over the raw
+    (l00-normalized) cartesian AO components of ``shells``."""
+    offs = []
+    n = 0
+    for sh in shells:
+        offs.append(n)
+        n += len(_CART_COMPS[sh.l])
+    pairs = []
+    pair_dat = {}
+    for i in range(len(shells)):
+        for j in range(i + 1):
+            pairs.append((i, j))
+            pair_dat[(i, j)] = _PairData(shells[i], shells[j])
+    eri = np.zeros((n, n, n, n))
+    for pi, (i, j) in enumerate(pairs):
+        for (k, l) in pairs[: pi + 1]:
+            blk = _eri_quartet(pair_dat[(i, j)], pair_dat[(k, l)])
+            si, sj = offs[i], offs[j]
+            sk, sl = offs[k], offs[l]
+            ni, nj, nk, nl = blk.shape
+            eri[si:si + ni, sj:sj + nj, sk:sk + nk, sl:sl + nl] = blk
+            eri[sj:sj + nj, si:si + ni, sk:sk + nk, sl:sl + nl] = \
+                blk.transpose(1, 0, 2, 3)
+            eri[si:si + ni, sj:sj + nj, sl:sl + nl, sk:sk + nk] = \
+                blk.transpose(0, 1, 3, 2)
+            eri[sj:sj + nj, si:si + ni, sl:sl + nl, sk:sk + nk] = \
+                blk.transpose(1, 0, 3, 2)
+            eri[sk:sk + nk, sl:sl + nl, si:si + ni, sj:sj + nj] = \
+                blk.transpose(2, 3, 0, 1)
+            eri[sl:sl + nl, sk:sk + nk, si:si + ni, sj:sj + nj] = \
+                blk.transpose(3, 2, 0, 1)
+            eri[sk:sk + nk, sl:sl + nl, sj:sj + nj, si:si + ni] = \
+                blk.transpose(2, 3, 1, 0)
+            eri[sl:sl + nl, sk:sk + nk, sj:sj + nj, si:si + ni] = \
+                blk.transpose(3, 2, 1, 0)
+    return eri
+
+
+def _shell_aos(shells):
+    """Expand shells into per-cartesian-AO (_AO-like) scalar-path objects
+    for the one-electron integrals, keeping raw l00 normalization."""
+    aos, meta = [], []
+    for si, sh in enumerate(shells):
+        for lmn in _CART_COMPS[sh.l]:
+            ao = _AO.__new__(_AO)
+            ao.lmn = lmn
+            ao.center = sh.center
+            ao.exps = sh.exps
+            ao.coefs = sh.coefs  # l00-normalized; fixed by w-scaling later
+            aos.append(ao)
+            meta.append((si, lmn))
+    return aos, meta
+
+
+def sph_transform(shells):
+    """(ncart, nsph) block-diagonal cart->spherical matrix acting on
+    *unit-normalized* cartesian components, plus per-sph-AO metadata
+    (atom, l, m_index, parity)."""
+    blocks, meta = [], []
+    for sh in shells:
+        blocks.append(_SPH_COEF[sh.l])
+        for mi, par in enumerate(_SPH_PARITY[sh.l]):
+            meta.append((sh.atom, sh.l, mi, par))
+    ncart = sum(b.shape[0] for b in blocks)
+    nsph = sum(b.shape[1] for b in blocks)
+    m = np.zeros((ncart, nsph))
+    r = c = 0
+    for b in blocks:
+        m[r:r + b.shape[0], c:c + b.shape[1]] = b
+        r += b.shape[0]
+        c += b.shape[1]
+    return m, meta
+
+
+def integrals_cc(symbols, centers, basis_name, spherical=True):
+    """(S, T, V, ERI-chemist, E_nuc, ao_meta) in the normalized spherical
+    (or cartesian) AO basis for a correlation-consistent basis set."""
+    centers = np.atleast_2d(np.asarray(centers, float))
+    shells, charges = build_shells(symbols, centers, basis_name)
+    aos, cart_meta = _shell_aos(shells)
+    n = len(aos)
+
+    def contract2(fn):
+        m = np.zeros((n, n))
+        for i, A in enumerate(aos):
+            for j, B in enumerate(aos[: i + 1]):
+                s = 0.0
+                for a, da in zip(A.exps, A.coefs):
+                    for b, db in zip(B.exps, B.coefs):
+                        s += da * db * fn(A.lmn, B.lmn, a, b,
+                                          A.center, B.center)
+                m[i, j] = m[j, i] = s
+        return m
+
+    s_ao = contract2(lambda la, lb, a, b, ca, cb:
+                     _overlap_prim(la, lb, a, b, ca, cb)[0])
+    t_ao = contract2(_kinetic_prim)
+    v_ao = contract2(lambda la, lb, a, b, ca, cb: _nuclear_prim(
+        la, lb, a, b, ca, cb, centers, charges))
+    eri = eri_cart(shells)
+
+    # raw l00-normalization -> unit-normalized cartesian components
+    w = np.array([_comp_w(sh_l_from(meta), meta[1]) for meta in cart_meta])
+    s_ao *= np.outer(w, w)
+    t_ao *= np.outer(w, w)
+    v_ao *= np.outer(w, w)
+    eri *= w[:, None, None, None] * w[None, :, None, None] \
+        * w[None, None, :, None] * w[None, None, None, :]
+
+    if spherical:
+        m, ao_meta = sph_transform(shells)
+        s_ao = m.T @ s_ao @ m
+        t_ao = m.T @ t_ao @ m
+        v_ao = m.T @ v_ao @ m
+        eri = np.einsum("ijkl,ip,jq,kr,ls->pqrs", eri, m, m, m, m,
+                        optimize=True)
+    else:
+        ao_meta = [
+            (shells[si].atom, shells[si].l, ci,
+             tuple(c % 2 for c in lmn))
+            for ci, (si, lmn) in enumerate(cart_meta)
+        ]
+    # exact contracted normalization (PySCF normalizes contractions too)
+    scale = 1.0 / np.sqrt(np.diag(s_ao))
+    s_ao = s_ao * np.outer(scale, scale)
+    t_ao = t_ao * np.outer(scale, scale)
+    v_ao = v_ao * np.outer(scale, scale)
+    eri = eri * (scale[:, None, None, None] * scale[None, :, None, None]
+                 * scale[None, None, :, None] * scale[None, None, None, :])
+
+    e_nuc = 0.0
+    for i in range(len(centers)):
+        for j in range(i):
+            e_nuc += charges[i] * charges[j] / np.linalg.norm(
+                centers[i] - centers[j])
+    return s_ao, t_ao, v_ao, eri, e_nuc, ao_meta
+
+
+def sh_l_from(meta):
+    """cart_meta entry -> its shell's l (helper for the w scaling)."""
+    return sum(meta[1])
+
+
 # Crawford programming-projects STO-3G water geometry (bohr):
 # published E_SCF = -74.942079928192, E_nuc = 8.002367061811 Ha
 WATER_GEOM = (
