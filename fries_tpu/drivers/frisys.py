@@ -625,14 +625,30 @@ def compute_htrial(ham: mol.MolecularHamiltonian, trial_keys, trial_vals,
     _, _, hf_en = mol.hf_reference(ham)
     if e_ref is not None:
         hf_en = float(e_ref)
-    w, amp, _ = mol.exact_offdiag_batch(
-        ham, tmpl, jnp.asarray(tk), occ, jnp.asarray(tv), 1.0
-    )
-    w = np.asarray(w.reshape(-1, ham.n_words))
-    amp = np.asarray(amp.reshape(-1))
+    # chunk the exact application: at production trial sizes (e.g. the
+    # ~2k-det N2 CISD trial x ~24k candidates) a single batch blows HBM
+    chunk = max(1, min(len(tv), (1 << 22) // max(tmpl.n_doub, 1) + 1))
+    w_parts, a_parts = [], []
+    for s in range(0, len(tv), chunk):
+        e = min(s + chunk, len(tv))
+        w, amp, _ = mol.exact_offdiag_batch(
+            ham, tmpl, jnp.asarray(tk[s:e]), occ[s:e],
+            jnp.asarray(tv[s:e]), 1.0
+        )
+        w = np.asarray(w.reshape(-1, ham.n_words))
+        amp = np.asarray(amp.reshape(-1))
+        live_c = amp != 0
+        w_parts.append(w[live_c])
+        a_parts.append(amp[live_c])
     diag = np.asarray(mol.diag_matrel(ham, occ)) - float(hf_en)
-    keys_all = np.concatenate([tk, w[amp != 0]])
-    vals_all = np.concatenate([tv * diag, amp[amp != 0]])
+    keys_all = np.concatenate([tk] + w_parts)
+    vals_all = np.concatenate([tv * diag] + a_parts)
+    if dets.packable(ham.n_words):
+        packed = np.asarray(dets.pack_key(jnp.asarray(keys_all)))
+        uniq, first, inv = np.unique(packed, return_index=True,
+                                     return_inverse=True)
+        summed = np.bincount(inv, weights=vals_all, minlength=len(uniq))
+        return keys_all[first].astype(np.uint32), summed
     merged = {}
     for kk, vv in zip(map(tuple, keys_all), vals_all):
         merged[kk] = merged.get(kk, 0.0) + vv

@@ -149,13 +149,28 @@ def _parse_fcidump_body_py(body: str, n_orb: int):
 
 def write_fcidump(ham: mol.MolecularHamiltonian, path, point_group: str = "C1",
                   core_energy: float = 0.0, threshold: float = 0.0):
-    """Write the unique chemist-notation integrals of a Hamiltonian."""
+    """Write the unique chemist-notation integrals of a Hamiltonian.
+
+    A frozen core is downfolded into the active space before writing: the
+    frozen orbitals' Coulomb/exchange field becomes an effective
+    one-electron operator and their energy joins the core constant —
+    exactly the frozen sums the reference's matrix elements apply on the
+    fly (sing_matr_el/diag_matrel, molecule.cpp:45-105, 935-1029), so
+    re-reading the file reproduces the same active-space spectrum with
+    n_frozen = 0."""
     n = ham.tot_orb
     h = np.asarray(ham.hcore)
     eris_phys = np.asarray(ham.eris)
     eris_chem = np.transpose(eris_phys, (0, 2, 1, 3))
     if ham.n_frozen:
-        raise NotImplementedError("write_fcidump with frozen core")
+        f = ham.n_frozen // 2
+        core_energy = core_energy + 2.0 * np.trace(h[:f, :f]) + (
+            2.0 * np.einsum("iijj->", eris_chem[:f, :f, :f, :f])
+            - np.einsum("ijji->", eris_chem[:f, :f, :f, :f]))
+        h = (h + 2.0 * np.einsum("pqii->pq", eris_chem[:, :, :f, :f])
+             - np.einsum("piiq->pq", eris_chem[:, :f, :f, :]))[f:, f:]
+        eris_chem = eris_chem[f:, f:, f:, f:]
+        n = ham.n_orb
     orbsym = invert_symm(np.asarray(ham.symm), point_group)
     with open(path, "w") as f:
         f.write(
@@ -234,6 +249,30 @@ def parse_hf_input(hf_dir):
         "n_frozen": n_frz,
     }
     return ham, params
+
+
+def write_hf_dir(ham: mol.MolecularHamiltonian, hf_dir, eps: float,
+                 hf_energy: float):
+    """Write a reference-format HF input directory (the inverse of
+    parse_hf_input / the PySCF step in Input_Data/gen_ex_trials.py):
+    sys_params.txt + symm.txt + hcore.txt + eris.txt (physicist-notation
+    n^4 CSV, frozen orbitals included).  ``hf_energy`` is the electronic
+    HF energy, as in the reference's sys_params files."""
+    hf_dir = Path(hf_dir)
+    hf_dir.mkdir(parents=True, exist_ok=True)
+    tot = ham.tot_orb
+    n_frz = ham.n_frozen
+    (hf_dir / "sys_params.txt").write_text(
+        f"n_elec\n{ham.n_elec + n_frz}\nn_frozen\n{n_frz}\n"
+        f"n_orb\n{ham.n_orb}\neps\n{eps}\nhf_energy\n{hf_energy:.10f}\n")
+    # symm.txt must cover all tot_orb orbitals (parse reads tot then skips
+    # the frozen prefix); frozen orbitals get irrep 0
+    symm_full = np.zeros(tot, np.int64)
+    symm_full[n_frz // 2:] = np.asarray(ham.symm)
+    np.savetxt(hf_dir / "symm.txt", symm_full, fmt="%d")
+    np.savetxt(hf_dir / "hcore.txt", np.asarray(ham.hcore), delimiter=",")
+    eris = np.asarray(ham.eris).reshape(tot * tot, tot * tot)
+    np.savetxt(hf_dir / "eris.txt", eris, delimiter=",")
 
 
 def parse_hh_input(path):
