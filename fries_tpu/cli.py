@@ -129,10 +129,15 @@ def _run_power_driver(args, step, run_steps, state, aux, protected=None):
                 os.path.join(result_dir, "checkpoint.npz"), state
             )
             # arena occupancy diagnostic (print_ht parity, det_hash.hpp:98-114)
-            a = state.arena
+            from fries_tpu.runtime import arena as _arena
+
+            occ = _arena.occupancy_stats(state.arena)
             with open(os.path.join(result_dir, "arena_occ.txt"), "a") as f:
-                used = int(np.asarray(a.n_used).sum())
-                f.write(f"{done},{used},{a.capacity},{used / a.capacity:.4f}\n")
+                f.write(
+                    f"{done},{occ['used']},{occ['capacity']},"
+                    f"{occ['fill']:.4f},{occ['live']},{occ['nonzero']},"
+                    f"{occ['zero_live']}\n"
+                )
     for f in files.values():
         f.close()
 

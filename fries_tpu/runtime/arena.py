@@ -184,6 +184,27 @@ def one_norm(arena: Arena, row: int = 0) -> jax.Array:
     return jnp.sum(jnp.abs(arena.vals[row].astype(jnp.float64)))
 
 
+def occupancy_stats(arena: Arena, row: int = 0) -> dict:
+    """Diagnostics for the arena_occ stream — the sorted-arena analogue of
+    the reference's hash-table occupancy dump (print_ht,
+    det_hash.hpp:98-114): slot usage, live (valid-key) slots, nonzeros on
+    ``row``, and zero-valued live slots ("dead" entries a chained table
+    would keep as tombstones)."""
+    used = int(np.asarray(arena.n_used).sum())
+    valid = np.asarray(arena.valid)
+    vals = np.asarray(arena.vals[row])
+    live = int(valid.sum())
+    nonz = int(((vals != 0) & valid).sum())
+    return {
+        "capacity": arena.capacity,
+        "used": used,
+        "live": live,
+        "nonzero": nonz,
+        "zero_live": live - nonz,
+        "fill": used / arena.capacity,
+    }
+
+
 def n_nonzero(arena: Arena, row: int = 0) -> jax.Array:
     return jnp.sum((arena.vals[row] != 0) & arena.valid, dtype=jnp.int32)
 

@@ -207,3 +207,16 @@ def test_sorted_merge_matches_model():
         assert {k: v for k, v in d0.items() if v != 0} == {
             k: v for k, v in row0.items() if v != 0
         }
+
+
+def test_occupancy_stats():
+    """print_ht-parity diagnostics (det_hash.hpp:98-114)."""
+    a = ar.make(16, 2, 1)
+    keys = jnp.asarray(np.array([[1, 0], [2, 0], [3, 0]], np.uint32))
+    vals = jnp.asarray([1.0, 0.0, -2.0])[None]
+    a = ar.from_unsorted(a, keys, vals)
+    occ = ar.occupancy_stats(a)
+    assert occ["capacity"] == 16
+    assert occ["used"] == 3 and occ["live"] == 3
+    assert occ["nonzero"] == 2 and occ["zero_live"] == 1
+    assert abs(occ["fill"] - 3 / 16) < 1e-12
