@@ -195,3 +195,125 @@ def test_sharded_observables_matches_single(ham):
         np.asarray(tr8["obs_den"]), np.asarray(tr1["obs_den"]),
         rtol=1e-9, atol=1e-11,
     )
+
+
+# ---------------------------------------------------------------------------
+# exchange-path tests: ragged collective vs dense fallback, and a
+# production-shape accumulate equivalence (VERDICT round-3 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _run_exchange(mode, keys, amps, n_shards, per_pair_cap):
+    """Drive shard.exchange inside shard_map on the virtual mesh; rows are
+    pre-bucketed per source shard as (n_shards, S_local, ...)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from fries_tpu.runtime import shard as sh
+
+    mesh = parallel.make_mesh(n_shards)
+
+    fn = {"ragged": sh.exchange_ragged, "dense": sh.exchange_dense}[mode]
+    cap = per_pair_cap * n_shards if mode == "ragged" else per_pair_cap
+
+    def body(k, a):
+        k, a = k[0], a[0]
+        tgt = sh.shard_of_words(k, n_shards)
+        rec, ovf = fn({"keys": k, "amps": a}, tgt, n_shards, cap,
+                      parallel.AXIS)
+        return (rec["keys"][None], rec["amps"][None],
+                ovf.astype(jnp.int32)[None])
+
+    smapped = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(parallel.AXIS), P(parallel.AXIS)),
+        out_specs=(P(parallel.AXIS), P(parallel.AXIS), P(parallel.AXIS))))
+    rk, ra, ovf = smapped(keys, amps)
+    return np.asarray(rk), np.asarray(ra), bool(np.asarray(ovf).any())
+
+
+def _merge_received(rk, ra, n_orb=12):
+    """Aggregate (shard, rows, W) received spawns into a dict det->sum."""
+    from fries_tpu import dets as d
+
+    out = {}
+    for s in range(rk.shape[0]):
+        valid = ~np.asarray(d.is_invalid(jnp.asarray(rk[s])))
+        for row in np.where(valid)[0]:
+            key = tuple(int(x) for x in rk[s, row])
+            out[key] = out.get(key, 0.0) + float(ra[s, row])
+    return {k: v for k, v in out.items() if v != 0.0}
+
+
+def test_ragged_exchange_matches_dense():
+    rng = np.random.default_rng(7)
+    n_shards, s_local, w = 8, 256, 2
+    keys = rng.integers(0, 1 << 20, size=(n_shards, s_local, w)).astype(
+        np.uint32)
+    # mark ~20% invalid (sentinel)
+    from fries_tpu import dets as d
+    sent = np.asarray(d.invalid_det(w))
+    inv = rng.random((n_shards, s_local)) < 0.2
+    keys[inv] = sent
+    amps = rng.standard_normal((n_shards, s_local))
+    amps[inv] = 0.0
+
+    rk_d, ra_d, ovf_d = _run_exchange("dense", jnp.asarray(keys),
+                                      jnp.asarray(amps), n_shards, 128)
+    rk_r, ra_r, ovf_r = _run_exchange("ragged", jnp.asarray(keys),
+                                      jnp.asarray(amps), n_shards, 128)
+    assert not ovf_d and not ovf_r
+    assert _merge_received(rk_d, ra_d) == _merge_received(rk_r, ra_r)
+
+
+def test_ragged_exchange_production_shape():
+    """~100k rows/shard through the ragged collective on the 8-device
+    mesh, validated against a single-arena accumulate of the same rows
+    (the bucket build and exchange actually stride at this size)."""
+    from fries_tpu import dets as d
+    from fries_tpu.runtime import arena as ar_
+
+    rng = np.random.default_rng(3)
+    n_shards, s_local, w = 8, 100_000, 2
+    nbits = 24
+    keys = rng.integers(0, 1 << nbits, size=(n_shards * s_local,)).astype(
+        np.uint64)
+    words = np.zeros((n_shards * s_local, w), np.uint32)
+    words[:, 0] = keys & 0xFFFFFFFF
+    amps = rng.standard_normal(n_shards * s_local)
+
+    rk, ra, ovf = _run_exchange(
+        "ragged", jnp.asarray(words.reshape(n_shards, s_local, w)),
+        jnp.asarray(amps.reshape(n_shards, s_local)), n_shards, 40_000)
+    assert not ovf
+
+    # every row must land on the shard its hash owns, exactly once
+    total_received = 0
+    for s in range(n_shards):
+        valid = ~np.asarray(d.is_invalid(jnp.asarray(rk[s])))
+        total_received += int(valid.sum())
+        tgt = np.asarray(sh_targets(jnp.asarray(rk[s][valid])))
+        assert (tgt == s).all()
+    assert total_received == n_shards * s_local
+
+    # accumulate per shard and compare against one global arena
+    merged = {}
+    for s in range(n_shards):
+        valid = ~np.asarray(d.is_invalid(jnp.asarray(rk[s])))
+        k = np.asarray(rk[s][valid])
+        a = np.asarray(ra[s][valid])
+        packed = k[:, 0].astype(np.int64)
+        uq, inv_ = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv_, weights=a)
+        for key, v in zip(uq, sums):
+            assert key not in merged  # shards own disjoint key sets
+            merged[key] = v
+    ref_uq, ref_inv = np.unique(words[:, 0].astype(np.int64),
+                                return_inverse=True)
+    ref_sums = np.bincount(ref_inv, weights=amps)
+    assert set(merged) == set(ref_uq.tolist())
+    got = np.asarray([merged[k] for k in ref_uq.tolist()])
+    np.testing.assert_allclose(got, ref_sums, rtol=1e-12, atol=1e-12)
+
+
+def sh_targets(k):
+    from fries_tpu.runtime import shard as sh
+    return sh.shard_of_words(k, 8)
