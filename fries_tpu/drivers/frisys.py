@@ -64,6 +64,14 @@ class FrisysConfig:
                             # spent on singles with zero allowed targets.
                             # False restores the reference's 5-level
                             # structure (apply_HBPP_sys levels 1+2 separate).
+    fuse_cd: bool = True    # fuse levels C (o2) and D (u1) into ONE comp_sub
+                            # over the joint (n_elec * n_virt)-column outer
+                            # product: the HB-PP u1 conditional depends only
+                            # on o1 (calc_u1_probs, heat_bathPP.cpp:273-319),
+                            # so P(o2, u1 | o1) = P(o2|o1) P(u1|o1) is
+                            # available before sampling either.  Singles ride
+                            # the same stage as uniform ndiv = n_virt rows
+                            # (their old level-C role); level D disappears.
     emit_chunk: int = 0     # chunk comp_sub's output-slot inversion (bounds
                             # the (chunk, K) emission temporaries at 1e6+ S)
     axis_name: str | None = None
@@ -296,7 +304,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
                 ~is_doub & live, sub, 0
             )  # allowed-electron rank
 
-        # ---------------- level C: o2 (doubles) / virtual count (singles) ---
+        # ---------------- level C (+D when fused) ----------------
         s_occ, s_keys, occ_bits = unpack_prow(prow)
         counts = hb.unocc_symm_counts(
             n_orb, n_elec, symm, jnp.asarray(syminfo.counts), s_occ
@@ -313,55 +321,120 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         s_elec = jnp.where(s_found, s_elec, 0)
         s_nvirt = kernels.take_along_small(per_elec, s_elec)
         sing_ok = (~is_doub) & live & s_found & (s_nvirt > 0)
-        ndivC = jnp.where(is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
-        valC_in = jnp.where(is_doub | sing_ok, val, 0.0)
-        rowsum = jnp.sum(probsC, axis=-1)
-        valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
-        maskC = is_doub[:, None] & (probsC > 0)
-        val, parent, sub, _, ovf = _stage(
-            2, valC_in, ndivC, jnp.where(maskC, probsC, 0.0), m_samp, rns,
-            keys5, n_virt,
-        )
-        overflow |= ovf
-        live = parent >= 0
-        pidx = jnp.where(live, parent, 0)
-        (det_idx, d_i, o1_idx, s_elec), prow = remap(
-            pidx, [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec], prow
-        )
-        is_doub = (d_i != 0) & live
-        o2_idx = jnp.where(is_doub, sub, 0)
-        virt_rank = jnp.where(~is_doub & live, sub, 0)
 
-        # ---------------- level D: u1 (doubles) ----------------
-        s_occ, s_keys, occ_bits = unpack_prow(prow)
-        o1_orb = kernels.take_along_small(s_occ, o1_idx)
-        o2_orb = kernels.take_along_small(s_occ, o2_idx)
-        if unnorm:
-            same_oo = (o1_orb // n_orb) == (o2_orb // n_orb)
-            probsD, u1_frac, virtsD = hb.u1_probs(
-                tens, n_orb, n_elec, occ_bits, o1_orb, exclude_first=same_oo
+        if cfg.fuse_cd:
+            # ---- fused C+D: joint (o2, u1) over n_elec * n_virt columns --
+            # P(u1 | o1) does not involve o2 (calc_u1_probs reads only the
+            # o1 row of exch_sqrt), so the joint conditional is available
+            # before sampling either index.  Chain masses are identical to
+            # the sequential C -> D form:
+            #   norm:   probsC[e] * probsD[v]
+            #   unnorm: probsC[e] * w_u1[v] / exch_norms[o1], with the
+            #           same-spin first-virtual exclusion per o2 column —
+            #           the u1_frac * probsD product telescopes to
+            #           w_u1 / exch_norms, so per-variant normalization
+            #           cancels out of the joint entirely
+            #           (heat_bathPP.cpp:744-790 applies the fractions to
+            #           the value; folding them into the branch mass is the
+            #           same A+B-fusion trick as tot_weight above).
+            # Singles ride the same stage as uniform ndiv = s_nvirt rows
+            # (their old level-C role); level D disappears.
+            o1_orb = kernels.take_along_small(s_occ, o1_idx)
+            w_u1, fracD, _ = hb.u1_probs(tens, n_orb, n_elec, occ_bits,
+                                         o1_orb)
+            if unnorm:
+                # recover the unnormalized exch row over exch_norms:
+                # u1_probs returns w/norm and frac = norm/exch_norms, so
+                # w * frac = w_raw / exch_norms directly
+                w_over_norms = w_u1 * fracD[:, None]
+                same_col = (s_occ // n_orb) == (o1_orb // n_orb)[:, None]
+                kill_first = same_col[:, :, None] & (
+                    jnp.arange(w_u1.shape[1]) == 0)[None, None, :]
+                joint = jnp.where(
+                    kill_first, 0.0,
+                    probsC[:, :, None] * w_over_norms[:, None, :],
+                )
+            else:
+                joint = probsC[:, :, None] * w_u1[:, None, :]
+            kj = n_elec * n_virt
+            joint = joint.reshape(joint.shape[0], kj)
+            if cfg.stage_f32:
+                joint = joint.astype(jnp.float32)
+            rowsumJ = jnp.sum(joint, axis=-1)
+            ndivCD = jnp.where(
+                is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
+            valCD_in = jnp.where(is_doub | sing_ok, val, 0.0)
+            valCD_in = jnp.where(is_doub & (rowsumJ <= 0), 0.0, valCD_in)
+            joint = jnp.where(is_doub[:, None], joint, 0.0)
+            val, parent, sub, _, ovf = _stage(
+                2, valCD_in, ndivCD, joint, m_samp, rns, keys5,
+                max(n_virt, kj),
             )
-            val = jnp.where(is_doub, val * u1_frac, val)
+            overflow |= ovf
+            live = parent >= 0
+            pidx = jnp.where(live, parent, 0)
+            (det_idx, d_i, o1_idx, s_elec), prow = remap(
+                pidx,
+                [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec], prow
+            )
+            is_doub = (d_i != 0) & live
+            o2_idx = jnp.where(is_doub, sub // n_virt, 0)
+            u1_slot = jnp.where(is_doub, sub % n_virt, 0)
+            virt_rank = jnp.where(~is_doub & live, sub, 0)
         else:
-            probsD, _, virtsD = hb.u1_probs(tens, n_orb, n_elec, occ_bits, o1_orb)
-        rowsumD = jnp.sum(probsD, axis=-1)
-        ndivD = jnp.where(is_doub, 0, 1).astype(jnp.int32)
-        valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
-        maskD = is_doub[:, None] & (probsD > 0)
-        val, parent, sub, _, ovf = _stage(
-            3, valD_in, ndivD, jnp.where(maskD, probsD, 0.0), m_samp, rns,
-            keys5, 1,
-        )
-        overflow |= ovf
-        live = parent >= 0
-        pidx = jnp.where(live, parent, 0)
-        (det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank), prow = remap(
-            pidx,
-            [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
-             virt_rank], prow,
-        )
-        is_doub = (d_i != 0) & live
-        u1_slot = jnp.where(is_doub, sub, 0)
+            ndivC = jnp.where(
+                is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
+            valC_in = jnp.where(is_doub | sing_ok, val, 0.0)
+            rowsum = jnp.sum(probsC, axis=-1)
+            valC_in = jnp.where(is_doub & (rowsum <= 0), 0.0, valC_in)
+            maskC = is_doub[:, None] & (probsC > 0)
+            val, parent, sub, _, ovf = _stage(
+                2, valC_in, ndivC, jnp.where(maskC, probsC, 0.0), m_samp,
+                rns, keys5, n_virt,
+            )
+            overflow |= ovf
+            live = parent >= 0
+            pidx = jnp.where(live, parent, 0)
+            (det_idx, d_i, o1_idx, s_elec), prow = remap(
+                pidx,
+                [det_idx, is_doub.astype(jnp.int32), o1_idx, s_elec], prow
+            )
+            is_doub = (d_i != 0) & live
+            o2_idx = jnp.where(is_doub, sub, 0)
+            virt_rank = jnp.where(~is_doub & live, sub, 0)
+
+            # ---------------- level D: u1 (doubles) ----------------
+            s_occ, s_keys, occ_bits = unpack_prow(prow)
+            o1_orb = kernels.take_along_small(s_occ, o1_idx)
+            o2_orb = kernels.take_along_small(s_occ, o2_idx)
+            if unnorm:
+                same_oo = (o1_orb // n_orb) == (o2_orb // n_orb)
+                probsD, u1_frac, virtsD = hb.u1_probs(
+                    tens, n_orb, n_elec, occ_bits, o1_orb,
+                    exclude_first=same_oo
+                )
+                val = jnp.where(is_doub, val * u1_frac, val)
+            else:
+                probsD, _, virtsD = hb.u1_probs(
+                    tens, n_orb, n_elec, occ_bits, o1_orb)
+            rowsumD = jnp.sum(probsD, axis=-1)
+            ndivD = jnp.where(is_doub, 0, 1).astype(jnp.int32)
+            valD_in = jnp.where(is_doub & (rowsumD <= 0), 0.0, val)
+            maskD = is_doub[:, None] & (probsD > 0)
+            val, parent, sub, _, ovf = _stage(
+                3, valD_in, ndivD, jnp.where(maskD, probsD, 0.0), m_samp,
+                rns, keys5, 1,
+            )
+            overflow |= ovf
+            live = parent >= 0
+            pidx = jnp.where(live, parent, 0)
+            (det_idx, d_i, o1_idx, o2_idx, s_elec, virt_rank), prow = remap(
+                pidx,
+                [det_idx, is_doub.astype(jnp.int32), o1_idx, o2_idx, s_elec,
+                 virt_rank], prow,
+            )
+            is_doub = (d_i != 0) & live
+            u1_slot = jnp.where(is_doub, sub, 0)
 
         # ---------------- level E: u2 (doubles) ----------------
         s_occ, s_keys, occ_bits = unpack_prow(prow)

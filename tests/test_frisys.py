@@ -56,7 +56,8 @@ def dense_spawn_map(ham, words, amps, n_bits):
 
 @pytest.mark.parametrize("unnorm", [False, True])
 @pytest.mark.parametrize("with_symm", [False, True])
-def test_hbpp_exact_when_budget_large(unnorm, with_symm):
+@pytest.mark.parametrize("fuse_cd", [True, False])
+def test_hbpp_exact_when_budget_large(unnorm, with_symm, fuse_cd):
     n_orb, n_elec = 5, 4
     symm = np.array([0, 1, 0, 1, 0], np.int32) if with_symm else None
     ham, h, eris = build_ham(n_orb, n_elec, symm=symm, seed=4)
@@ -69,12 +70,13 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
     # separately below)
     cfg = frisys.FrisysConfig(
         eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
-        spawn_cap=1024, unnorm=unnorm, stage_f32=False,
+        spawn_cap=1024, unnorm=unnorm, stage_f32=False, fuse_cd=fuse_cd,
     )
     spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
     cfg32 = frisys.FrisysConfig(
         eps=0.01, vec_nonz=64, matr_samp=100000, capacity=8,
         spawn_cap=1024, unnorm=unnorm, stage_f32=True, emit_chunk=256,
+        fuse_cd=fuse_cd,
     )
     spawn32 = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg32, e_ref=0.0)
 
@@ -128,7 +130,8 @@ def test_hbpp_exact_when_budget_large(unnorm, with_symm):
 
 
 @pytest.mark.parametrize("unnorm", [False, True])
-def test_hbpp_unbiased_small_budget(unnorm):
+@pytest.mark.parametrize("fuse_cd", [True, False])
+def test_hbpp_unbiased_small_budget(unnorm, fuse_cd):
     """E[spawn] over many repetitions must equal -eps*H_offdiag*v."""
     n_orb, n_elec = 5, 4
     ham, h, eris = build_ham(n_orb, n_elec, seed=5)
@@ -137,7 +140,7 @@ def test_hbpp_unbiased_small_budget(unnorm):
     p_doub = frisys.hf_p_doub(ham, syminfo)
     cfg = frisys.FrisysConfig(
         eps=0.01, vec_nonz=64, matr_samp=30, capacity=8,
-        spawn_cap=512, unnorm=unnorm,
+        spawn_cap=512, unnorm=unnorm, fuse_cd=fuse_cd,
     )
     spawn = frisys.make_hbpp_spawner(ham, tens, syminfo, p_doub, cfg, e_ref=0.0)
 
