@@ -50,6 +50,13 @@ class PowerConfig:
                             # enforced via the overflow flag). Bounds the
                             # candidate buffer of exact-H spawners at
                             # capacity >> kept sizes (0 = whole arena).
+    dedup_cap: int = 0      # collapse duplicate spawn targets to <= this
+                            # many (key, ini) rows before each chunk merge
+                            # (arena.dedup_spawns).  Exact-H candidate
+                            # streams repeat each target once per connected
+                            # source, so the merge shrinks from
+                            # batch*n_excitations rows to ~|reachable
+                            # space|.  0 = off.
     # multi-chip: set axis_name/n_shards when running under shard_map over a
     # 1-D mesh; exchange_cap is the per-destination bucket capacity of the
     # all-to-all spawn exchange (0 = auto)
@@ -155,6 +162,10 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
                     (amp != 0)[:, None], w,
                     jnp.asarray(dets.invalid_det(a.n_words)),
                 )
+                if cfg.dedup_cap:
+                    w, amp, ini, dovf = ar.dedup_spawns(
+                        w, amp, ini, cfg.dedup_cap)
+                    ovf = ovf | dovf
                 a_c, st = ar.accumulate_best(
                     a_c, w, amp, ini, origin_row=0, dest_row=1
                 )

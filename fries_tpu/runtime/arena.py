@@ -376,6 +376,65 @@ def accumulate(
     return new_arena, {"overflow": overflow, "nonini_occ_add": nonini_occ_add}
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def dedup_spawns(spawn_keys, spawn_vals, spawn_ini, cap: int):
+    """Collapse duplicate spawn targets into ≤ ``cap`` rows before a merge.
+
+    Exact-H streams repeat each target determinant once per connected
+    source (kept_dets x n_excitations rows for ~|space| unique targets):
+    deduplicating first shrinks every downstream merge cost from the raw
+    stream length to the unique count.  Initiator semantics are preserved
+    exactly by segmenting on (key, ini_flag) — a target's initiator and
+    non-initiator contributions stay separate rows, so accumulate's
+    per-spawn gate (own flag OR occupied target, vec_utils.hpp:606-641)
+    sees the same sums.  Returns (keys (cap, W), vals, ini, overflow);
+    output rows are sorted and sentinel-padded.
+    """
+    s, w = spawn_keys.shape
+    ini_i = spawn_ini.astype(jnp.int32)
+    # dead rows (sentinel key or zero value) sort to the tail so the valid
+    # prefix has no interleaved holes to confuse the boundary detection
+    dead = (dets.is_invalid(spawn_keys) | (spawn_vals == 0)).astype(jnp.int32)
+    if dets.packable(w):
+        operands = [dead, dets.pack_key(spawn_keys), ini_i,
+                    jnp.arange(s, dtype=jnp.int32)]
+        perm = lax.sort(operands, num_keys=3, is_stable=True)[-1]
+    else:
+        operands = [dead] + dets.sort_key_columns(spawn_keys) + [
+            ini_i, jnp.arange(s, dtype=jnp.int32)]
+        perm = lax.sort(operands, num_keys=w + 2, is_stable=True)[-1]
+    skeys = spawn_keys[perm]
+    svals = spawn_vals[perm]
+    sini = ini_i[perm]
+    s_valid = ~dets.is_invalid(skeys) & (svals != 0)
+
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        ~dets.det_eq(skeys[1:], skeys[:-1]) | (sini[1:] != sini[:-1]),
+    ]) & s_valid
+    nfirst = jnp.cumsum(first.astype(jnp.int32))
+    n_seg = nfirst[-1]
+    overflow = n_seg > cap
+
+    # segment sums as cumsum differences at segment starts (scatter-free)
+    csum = jnp.cumsum(jnp.where(s_valid, svals, 0.0))
+    seg_start = jnp.clip(_rank_select(nfirst, cap), 0, s - 1)
+    u_idx = jnp.arange(cap, dtype=jnp.int32)
+    valid_u = u_idx < n_seg
+    seg_next_start = jnp.concatenate(
+        [seg_start[1:], jnp.full((1,), s - 1, jnp.int32)])
+    # inclusive csum at the last row of each segment = csum[next_start - 1]
+    last = jnp.clip(jnp.where(u_idx + 1 < n_seg, seg_next_start - 1, s - 1),
+                    0, s - 1)
+    upper = csum[last]
+    lower = jnp.where(seg_start > 0, csum[jnp.maximum(seg_start - 1, 0)], 0.0)
+    out_vals = jnp.where(valid_u, upper - lower, 0.0)
+    sentinel = jnp.asarray(dets.invalid_det(w))
+    out_keys = jnp.where(valid_u[:, None], skeys[seg_start], sentinel)
+    out_ini = jnp.where(valid_u, sini[seg_start], 0).astype(jnp.bool_)
+    return out_keys, out_vals, out_ini, overflow
+
+
 def accumulate_best(
     arena: Arena,
     spawn_keys: jax.Array,

@@ -220,3 +220,63 @@ def test_occupancy_stats():
     assert occ["used"] == 3 and occ["live"] == 3
     assert occ["nonzero"] == 2 and occ["zero_live"] == 1
     assert abs(occ["fill"] - 3 / 16) < 1e-12
+
+
+def test_dedup_spawns_matches_direct_accumulate():
+    """accumulate(dedup(stream)) must equal accumulate(stream) including
+    initiator gating: ini and non-ini contributions to the same target
+    stay separate dedup rows."""
+    rng = np.random.default_rng(5)
+    c, w, s, cap = 64, 2, 4096, 256
+    base = ar.make(c, w, 2)
+    occ_keys = np.zeros((8, w), np.uint32)
+    occ_keys[:, 0] = rng.choice(100, size=8, replace=False) + 1
+    base = ar.from_unsorted(
+        base, jnp.asarray(occ_keys),
+        jnp.stack([rng.standard_normal(8), np.zeros(8)]))
+
+    sk = np.zeros((s, w), np.uint32)
+    sk[:, 0] = rng.choice(120, size=s) + 1  # heavy duplication
+    sv = rng.standard_normal(s)
+    si = rng.random(s) < 0.5
+    # sprinkle invalid + zero rows
+    from fries_tpu import dets as d
+    sent = np.asarray(d.invalid_det(w))
+    kill = rng.random(s) < 0.1
+    sk[kill] = sent
+    sv[kill] = 0.0
+    sv[rng.random(s) < 0.05] = 0.0
+
+    a1, st1 = ar.accumulate(base, jnp.asarray(sk), jnp.asarray(sv),
+                            jnp.asarray(si), origin_row=0, dest_row=1)
+    dk, dv, di, ovf = ar.dedup_spawns(jnp.asarray(sk), jnp.asarray(sv),
+                                      jnp.asarray(si), cap)
+    assert not bool(ovf)
+    a2, st2 = ar.accumulate(base, dk, dv, di, origin_row=0, dest_row=1)
+
+    assert bool(st1["overflow"]) == bool(st2["overflow"])
+
+    def snapshot(a):
+        out = {}
+        keys = np.asarray(a.keys)
+        vals = np.asarray(a.vals)
+        valid = np.asarray(a.valid)
+        for i in np.where(valid)[0]:
+            out[tuple(keys[i])] = vals[1, i]
+        return out
+
+    s1, s2 = snapshot(a1), snapshot(a2)
+    assert set(s1) == set(s2)
+    for k in s1:
+        np.testing.assert_allclose(s1[k], s2[k], rtol=1e-12, atol=1e-12)
+
+
+def test_dedup_spawns_overflow_flag():
+    s, w = 64, 2
+    sk = np.zeros((s, w), np.uint32)
+    sk[:, 0] = np.arange(s) + 1  # all unique
+    sv = np.ones(s)
+    si = np.zeros(s, bool)
+    _, _, _, ovf = ar.dedup_spawns(jnp.asarray(sk), jnp.asarray(sv),
+                                   jnp.asarray(si), 32)
+    assert bool(ovf)

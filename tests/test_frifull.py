@@ -92,3 +92,28 @@ def test_chunked_fused_merge_matches_flat(system):
         )
     for a, b in zip(out[0], out[16]):
         np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_chunked_dedup_matches_flat(system):
+    """dedup_cap routes each chunk's candidate stream through
+    arena.dedup_spawns before the merge; trajectories must match the flat
+    path (same sums, different association order only)."""
+    ham, _ = system
+    out = {}
+    for dedup in (0, 512):
+        cfg = power.PowerConfig(
+            eps=0.05, target_nonz=256, capacity=128, batch=16,
+            dedup_cap=dedup,
+        )
+        step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
+        state, traj = run_steps(
+            state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"], 6,
+        )
+        assert not bool(np.asarray(traj["overflow"]).any())
+        out[dedup] = (
+            np.asarray(traj["proj_num"]), np.asarray(traj["proj_den"]),
+            np.asarray(traj["norm"]),
+        )
+    for a, b in zip(out[0], out[512]):
+        np.testing.assert_allclose(a, b, rtol=1e-9)
