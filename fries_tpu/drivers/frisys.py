@@ -130,6 +130,16 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
     unnorm = cfg.unnorm
     _sw = (lambda w: w.astype(jnp.float32)) if cfg.stage_f32 else (lambda w: w)
     _ck = dict(axis_name=cfg.axis_name, emit_chunk=cfg.emit_chunk)
+    # the fused-CD joint materializes (spawn_cap, n_elec * n_virt) stage
+    # rows; above ~0.5 GB (f32) the XLA temporaries for the fixpoint +
+    # grid exceed v5e HBM at the 1e6 flagship rung (measured OOM by 0.7G
+    # with 9.8x lane-padding expansion), so large configs fall back to the
+    # sequential C -> D levels
+    import os as _os
+    _fuse_cd_max = int(_os.environ.get("FRIES_FUSE_CD_MAX_BYTES",
+                                       500_000_000))
+    fuse_cd = cfg.fuse_cd and (
+        s_cap * n_elec * (n_orb - half) * 4 <= _fuse_cd_max)
 
     def _stage(level, vals_in, ndiv_in, w_in, m_in, rns, keys5, max_ndiv):
         # one compression level: systematic shared-grid (apply_HBPP_sys) or
@@ -322,7 +332,7 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
         s_nvirt = kernels.take_along_small(per_elec, s_elec)
         sing_ok = (~is_doub) & live & s_found & (s_nvirt > 0)
 
-        if cfg.fuse_cd:
+        if fuse_cd:
             # ---- fused C+D: joint (o2, u1) over n_elec * n_virt columns --
             # P(u1 | o1) does not involve o2 (calc_u1_probs reads only the
             # o1 row of exch_sqrt), so the joint conditional is available
