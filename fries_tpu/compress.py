@@ -155,6 +155,22 @@ def _preserve_threshold_seed(parts, n_samp, tot_mass, axis_name):
                 jnp.where(ge, cost.reshape(-1)[None, :].astype(jnp.float64), 0.0),
                 axis=1, dtype=jnp.float64,
             )
+    return _seed_finish(mass_above, cost_above, n_samp, tot_mass, axis_name)
+
+
+def _seed_edges(tot_mass, n_samp):
+    """Geometric (4x-spaced) threshold edges below T0 = tot_mass/n_samp."""
+    n_sampf = jnp.maximum(n_samp, 1).astype(jnp.float64)
+    t0 = tot_mass / n_sampf
+    return t0 * jnp.exp2(-2.0 * jnp.arange(_SEED_EDGES, dtype=jnp.float64))
+
+
+def _seed_finish(mass_above, cost_above, n_samp, tot_mass, axis_name):
+    """Greedy simulation over whole histogram buckets -> conservative T_est
+    (see _preserve_threshold_seed); histogram accumulated by the caller."""
+    n_sampf = jnp.maximum(n_samp, 1).astype(jnp.float64)
+    t0 = tot_mass / n_sampf
+    edges = _seed_edges(tot_mass, n_samp)
     mass_above = _gsum(mass_above, axis_name)
     cost_above = _gsum(cost_above, axis_name)
 
@@ -977,6 +993,335 @@ def comp_sub(
         out_sub = out_sub.reshape(-1)[:out_size]
     else:
         out_val, out_parent, out_sub = emit(jnp.arange(out_size, dtype=jnp.int32))
+    return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
+
+
+def comp_sub_factored(
+    values: jax.Array,
+    ndiv: jax.Array,
+    fac_a: jax.Array,
+    fac_b: jax.Array,
+    n_samp,
+    rn: jax.Array,
+    out_size: int,
+    kill_b0: jax.Array | None = None,
+    axis_name: str | None = None,
+    max_rounds: int = 64,
+    emit_chunk: int = 0,
+    row_chunk: int = 0,
+):
+    """comp_sub over a RANK-1 FACTORED probability row, never materializing
+    the (N, E*V) joint stage.
+
+    Weighted parents (ndiv == 0) carry the joint sub-weight row
+        w_sub[i, e*V + v] = values[i] * fac_a[i, e] * fac_b[i, v]
+    (optionally zeroing the v = 0 column where ``kill_b0[i, e]`` — the
+    HB-PP unnormalized same-spin first-virtual exclusion).  This is the
+    fused C+D (o2, u1) stage of apply_HBPP_sys (heat_bathPP.cpp:686-992):
+    P(u1 | o1) does not involve o2, so the joint conditional factorizes.
+    Materializing it at the 1e6 flagship rung costs (spawn_cap, 294) rows
+    plus XLA lane-padded 3D temporaries — measured OOM on v5e (frisys.py
+    round-4 gate).  Here every (N, K) quantity is recomputed on the fly
+    from the two factors, in ``row_chunk``-row chunks when requested:
+    the histogram seed, the threshold fixpoint, the per-parent emission
+    bookkeeping, and the per-slot emission rows.  Recomputation is
+    bit-deterministic (identical elementwise expressions), so keep masks
+    agree across passes.
+
+    Semantics and returns match comp_sub(values, ndiv, joint, joint != 0,
+    ...) up to float reassociation of the (values * a) * b product.
+    ``row_chunk`` = 0 processes all rows in one pass.
+    """
+    n, e_k = fac_a.shape
+    v_k = fac_b.shape[1]
+    k = e_k * v_k
+    values = values.astype(jnp.float64)
+    cdtype = fac_a.dtype if fac_a.dtype == jnp.float32 else jnp.float64
+    n_samp = jnp.asarray(n_samp, jnp.int32)
+
+    uniform = (ndiv > 0) & (values > 0)
+    weighted = (ndiv == 0) & (values > 0)
+    # factor A carries the parent scale; inactive rows zeroed
+    fa = jnp.where(
+        weighted[:, None],
+        values.astype(cdtype)[:, None] * fac_a.astype(cdtype),
+        jnp.asarray(0.0, cdtype),
+    )
+    fb = fac_b.astype(cdtype)
+    w_uni = jnp.where(uniform, values, 0.0)
+    ndiv_f = jnp.maximum(ndiv, 1).astype(jnp.float64)
+
+    # ---- chunked row recomputation ----
+    if not row_chunk or row_chunk >= n:
+        row_chunk = n
+    n_chunks = -(-n // row_chunk)
+    npad = n_chunks * row_chunk
+    if npad > n:
+        fa_p = jnp.pad(fa, ((0, npad - n), (0, 0)))
+        fb_p = jnp.pad(fb, ((0, npad - n), (0, 0)))
+        kill_p = (jnp.pad(kill_b0, ((0, npad - n), (0, 0)))
+                  if kill_b0 is not None else None)
+    else:
+        fa_p, fb_p, kill_p = fa, fb, kill_b0
+    col_v0 = (jnp.arange(k, dtype=jnp.int32) % v_k) == 0
+
+    def _rows_of(a, b, kc):
+        """(C, K) joint rows from (C, E) x (C, V) factors (2-D repeat/tile:
+        no (C, E, V) lane-padded 3-D intermediate)."""
+        w = jnp.repeat(a, v_k, axis=1) * jnp.tile(b, (1, e_k))
+        if kc is not None:
+            kmask = jnp.repeat(kc, v_k, axis=1) & col_v0[None, :]
+            w = jnp.where(kmask, jnp.asarray(0.0, cdtype), w)
+        return w
+
+    def _chunk_rows(i):
+        a = lax.dynamic_slice_in_dim(fa_p, i * row_chunk, row_chunk)
+        b = lax.dynamic_slice_in_dim(fb_p, i * row_chunk, row_chunk)
+        kc = (lax.dynamic_slice_in_dim(kill_p, i * row_chunk, row_chunk)
+              if kill_p is not None else None)
+        return _rows_of(a, b, kc)
+
+    # ---- pass 1: total stage mass ----
+    def _tot_body(i, acc):
+        return acc + jnp.sum(_chunk_rows(i), dtype=jnp.float64)
+
+    w_sub_tot = lax.fori_loop(0, n_chunks, _tot_body, jnp.float64(0.0))
+    tot_norm0 = _gsum(w_sub_tot + jnp.sum(w_uni), axis_name)
+    w_floor = jnp.asarray(1e-14 * tot_norm0, cdtype)
+
+    # ---- pass 2: histogram seed for the preserve threshold ----
+    edges = _seed_edges(tot_norm0, n_samp)
+    edges_c = edges.astype(cdtype)
+
+    def _hist_body(i, acc):
+        m_acc, c_acc = acc
+        w = _chunk_rows(i)
+        ge = w[None] >= edges_c[:, None, None]
+        # inner reduction over K stays in the stage dtype (counts <= K are
+        # f32-exact; mass tile error ~1e-7 relative sits inside the seed's
+        # one-bucket backoff), outer accumulation in f64
+        m1 = jnp.sum(jnp.where(ge, w[None], jnp.asarray(0.0, cdtype)),
+                     axis=2, dtype=cdtype)
+        c1 = jnp.sum(ge, axis=2, dtype=jnp.int32)
+        m_acc = m_acc + jnp.sum(m1, axis=1, dtype=jnp.float64)
+        c_acc = c_acc + jnp.sum(c1, axis=1, dtype=jnp.float64)
+        return m_acc, c_acc
+
+    mass_above, cost_above = lax.fori_loop(
+        0, n_chunks, _hist_body,
+        (jnp.zeros((_SEED_EDGES,), jnp.float64),
+         jnp.zeros((_SEED_EDGES,), jnp.float64)),
+    )
+    # uniform parents' contribution (per-budget-unit weight w_uni/ndiv)
+    u_uni = w_uni / ndiv_f
+    ge_u = u_uni[None, :] >= edges[:, None]
+    mass_above = mass_above + jnp.sum(
+        jnp.where(ge_u, w_uni[None, :], 0.0), axis=1, dtype=jnp.float64
+    )
+    cost_above = cost_above + jnp.sum(
+        jnp.where(ge_u, ndiv_f[None, :], 0.0), axis=1, dtype=jnp.float64
+    )
+    t_est = _seed_finish(mass_above, cost_above, n_samp, tot_norm0, axis_name)
+
+    # ---- scalar-threshold fixpoint (chunked _counts_at) ----
+    def _counts_at(thr):
+        def body(i, acc):
+            loc_a, used_a = acc
+            w = _chunk_rows(i)
+            kept = (w > w_floor) & (w >= thr)
+            loc_a = loc_a + jnp.sum(
+                jnp.where(kept, jnp.asarray(0.0, cdtype), w),
+                dtype=jnp.float64,
+            )
+            used_a = used_a + jnp.sum(kept, dtype=jnp.int32)
+            return loc_a, used_a
+
+        loc, used = lax.fori_loop(
+            0, n_chunks, body, (jnp.float64(0.0), jnp.int32(0))
+        )
+        kept_uni_t = (w_uni > 0) & (u_uni >= thr)
+        loc = loc + jnp.sum(jnp.where(kept_uni_t, 0.0, w_uni))
+        used = used + jnp.sum(
+            jnp.where(kept_uni_t, ndiv, 0), dtype=jnp.int32
+        )
+        return loc, used
+
+    def cond(state):
+        thr, n_kept, n_prev, rounds = state
+        return (n_kept != n_prev) & (rounds < max_rounds)
+
+    def body(state):
+        thr, n_kept, _, rounds = state
+        loc, used = _counts_at(thr)
+        glob_norm = _gsum(loc, axis_name)
+        used_g = _gsum(used, axis_name)
+        budget = jnp.maximum(n_samp - used_g, 0)
+        new_thr = jnp.where(
+            budget > 0,
+            glob_norm / jnp.maximum(budget, 1).astype(jnp.float64),
+            thr,
+        )
+        new_thr = jnp.minimum(new_thr, thr)
+        return new_thr, used_g, n_kept, rounds + 1
+
+    thr_f, _, _, _ = lax.while_loop(
+        cond, body, (t_est, jnp.int32(-1), jnp.int32(-2), jnp.int32(0))
+    )
+    keep_uni = (w_uni > 0) & (u_uni >= thr_f)
+    rem_uni = jnp.where(keep_uni, 0.0, w_uni)
+
+    # ---- final pass: per-parent non-kept mass + kept counts ----
+    def _final_body(i, acc):
+        pr, kc = acc
+        w = _chunk_rows(i)
+        kept = (w > w_floor) & (w >= thr_f)
+        pr = lax.dynamic_update_slice_in_dim(
+            pr,
+            jnp.sum(jnp.where(kept, jnp.asarray(0.0, cdtype), w),
+                    axis=1, dtype=jnp.float64),
+            i * row_chunk, 0,
+        )
+        kc = lax.dynamic_update_slice_in_dim(
+            kc, jnp.sum(kept, axis=1, dtype=jnp.int32), i * row_chunk, 0
+        )
+        return pr, kc
+
+    parent_rem_w, kept_counts_w = lax.fori_loop(
+        0, n_chunks, _final_body,
+        (jnp.zeros((npad,), jnp.float64), jnp.zeros((npad,), jnp.int32)),
+    )
+    parent_rem_w = parent_rem_w[:n]
+    kept_counts_w = kept_counts_w[:n]
+
+    # scalars derived FROM the per-parent arrays so the grid bookkeeping is
+    # self-consistent (comp_sub tolerates the same reassociation slack)
+    loc_norm = jnp.sum(parent_rem_w) + jnp.sum(rem_uni)
+    kept_budget = jnp.sum(kept_counts_w) + jnp.sum(
+        jnp.where(keep_uni, ndiv, 0), dtype=jnp.int32
+    )
+    glob_norm = _gsum(loc_norm, axis_name)
+    n_grid = jnp.maximum(n_samp - _gsum(kept_budget, axis_name), 0)
+    n_grid = jnp.where(glob_norm < 1e-9, 0, n_grid)
+    unit = jnp.where(n_grid > 0, glob_norm / jnp.maximum(n_grid, 1), jnp.inf)
+
+    # ---- emission bookkeeping (as comp_sub) ----
+    parent_rem = parent_rem_w + rem_uni
+    shard_lbound = _prefix_sum_over_shards(loc_norm, axis_name)
+    cum_parent = shard_lbound + jnp.cumsum(parent_rem) - parent_rem
+    g_start = _grid_count_below(cum_parent, rn, unit)
+    g_end = _grid_count_below(cum_parent + parent_rem, rn, unit)
+    grid_counts = jnp.where(n_grid > 0, (g_end - g_start), 0).astype(jnp.int32)
+    kept_counts = jnp.where(keep_uni, ndiv, kept_counts_w)
+    counts = kept_counts + grid_counts
+    offsets = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    overflow = total > out_size
+
+    payload = jnp.stack(
+        [
+            offsets.astype(jnp.float64),
+            kept_counts.astype(jnp.float64),
+            g_start.astype(jnp.float64),
+            cum_parent,
+            parent_rem,
+            values,
+            ndiv_f,
+            uniform.astype(jnp.float64),
+        ],
+        axis=1,
+    )
+    # one factor-row gather per chunk: fa | fb | kill as f32 0/1 columns
+    fab_cols = [fa.astype(cdtype), fb]
+    if kill_b0 is not None:
+        fab_cols.append(kill_b0.astype(cdtype))
+    fab = jnp.concatenate(fab_cols, axis=1)
+    col_ids = jnp.arange(k, dtype=jnp.int32)
+
+    def emit(slot):
+        valid = slot < total
+        parent = jnp.searchsorted(
+            offsets, slot, side="right", method="sort"
+        ).astype(jnp.int32) - 1
+        parent = jnp.clip(parent, 0, n - 1)
+        pay = payload[parent]
+        frow = fab[parent]
+        a_rows = frow[:, :e_k]
+        b_rows = frow[:, e_k : e_k + v_k]
+        k_rows = (frow[:, e_k + v_k :] != 0) if kill_b0 is not None else None
+        # identical elementwise construction to _rows_of -> bit-identical
+        # keep masks vs the fixpoint passes
+        w_rows = _rows_of(a_rows, b_rows, k_rows)
+
+        p_offset = pay[:, 0].astype(jnp.int32)
+        p_kept_counts = pay[:, 1].astype(jnp.int32)
+        p_g_start = pay[:, 2]
+        p_cum_parent = pay[:, 3]
+        p_parent_rem = pay[:, 4]
+        p_values = pay[:, 5]
+        p_ndiv_f = pay[:, 6]
+        p_uniform = pay[:, 7] != 0.0
+
+        r = slot - p_offset
+        is_kept_emit = r < p_kept_counts
+
+        keep_rows = (w_rows > w_floor) & (w_rows >= thr_f)
+        rem_rows_v = jnp.where(keep_rows, jnp.asarray(0.0, cdtype), w_rows)
+
+        kept_rank_rows = row_cumsum(keep_rows).astype(jnp.int32) - 1
+        kept_hit = keep_rows & (kept_rank_rows == r[:, None])
+        kept_col = jnp.sum(jnp.where(kept_hit, col_ids, 0), axis=1)
+        kept_sub_idx = jnp.where(p_uniform, r, kept_col)
+        kept_val = jnp.where(
+            p_uniform,
+            p_values / p_ndiv_f,
+            kernels.take_along_small(
+                w_rows, jnp.clip(kept_sub_idx, 0, k - 1)
+            ).astype(jnp.float64),
+        )
+
+        g = p_g_start + (r - p_kept_counts).astype(jnp.float64)
+        x = (rn + g) * unit
+        y = x - p_cum_parent
+        uni_sub = jnp.clip(
+            jnp.floor(y / jnp.maximum(p_parent_rem, 1e-300) * p_ndiv_f),
+            0,
+            p_ndiv_f - 1,
+        ).astype(jnp.int32)
+        rem_rows = rem_rows_v > 0
+        row_cum_incl = row_cumsum(rem_rows_v).astype(jnp.float64)
+        wt_sub = jnp.sum(
+            (row_cum_incl <= y[:, None]) & rem_rows, axis=1, dtype=jnp.int32
+        )
+        wt_sub = jnp.minimum(
+            wt_sub,
+            jnp.maximum(jnp.sum(rem_rows, axis=1, dtype=jnp.int32) - 1, 0),
+        )
+        nonkept_rank_rows = row_cumsum(rem_rows).astype(jnp.int32) - 1
+        nk_hit = rem_rows & (nonkept_rank_rows == wt_sub[:, None])
+        wt_sub_col = jnp.sum(jnp.where(nk_hit, col_ids, 0), axis=1)
+
+        grid_sub_idx = jnp.where(p_uniform, uni_sub, wt_sub_col)
+
+        out_sub = jnp.where(is_kept_emit, kept_sub_idx, grid_sub_idx)
+        out_val = jnp.where(is_kept_emit, kept_val, unit)
+        out_val = jnp.where(valid, out_val, 0.0)
+        out_parent = jnp.where(valid, parent, -1)
+        out_sub = jnp.where(valid, out_sub, -1)
+        return out_val, out_parent, out_sub
+
+    if emit_chunk and emit_chunk < out_size:
+        n_ch = -(-out_size // emit_chunk)
+        slots = jnp.arange(n_ch * emit_chunk, dtype=jnp.int32).reshape(
+            n_ch, emit_chunk
+        )
+        out_val, out_parent, out_sub = lax.map(emit, slots)
+        out_val = out_val.reshape(-1)[:out_size]
+        out_parent = out_parent.reshape(-1)[:out_size]
+        out_sub = out_sub.reshape(-1)[:out_size]
+    else:
+        out_val, out_parent, out_sub = emit(
+            jnp.arange(out_size, dtype=jnp.int32)
+        )
     return out_val, out_parent, out_sub, jnp.minimum(total, out_size), overflow
 
 

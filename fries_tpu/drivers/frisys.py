@@ -130,16 +130,25 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
     unnorm = cfg.unnorm
     _sw = (lambda w: w.astype(jnp.float32)) if cfg.stage_f32 else (lambda w: w)
     _ck = dict(axis_name=cfg.axis_name, emit_chunk=cfg.emit_chunk)
-    # the fused-CD joint materializes (spawn_cap, n_elec * n_virt) stage
-    # rows; above ~0.5 GB (f32) the XLA temporaries for the fixpoint +
-    # grid exceed v5e HBM at the 1e6 flagship rung (measured OOM by 0.7G
-    # with 9.8x lane-padding expansion), so large configs fall back to the
-    # sequential C -> D levels
+    # systematic fused-CD runs through compress.comp_sub_factored, which
+    # recomputes the rank-1 joint on the fly (no (spawn_cap, n_elec*n_virt)
+    # materialization) — active at EVERY rung.  The pivotal path still
+    # materializes the joint for comp_sub_piv, so it keeps the round-4 HBM
+    # gate (measured OOM by 0.7G with 9.8x lane-padding expansion at 1e6).
     import os as _os
     _fuse_cd_max = int(_os.environ.get("FRIES_FUSE_CD_MAX_BYTES",
                                        500_000_000))
     fuse_cd = cfg.fuse_cd and (
-        s_cap * n_elec * (n_orb - half) * 4 <= _fuse_cd_max)
+        not cfg.pivotal
+        or s_cap * n_elec * (n_orb - half) * 4 <= _fuse_cd_max)
+    # chunk the factored stage's row passes at ~256 MB of (chunk, K) rows
+    _stage_item = 4 if cfg.stage_f32 else 8
+    _kj_bytes = n_elec * n_virt * _stage_item
+    if s_cap * _kj_bytes <= 64_000_000:
+        _cd_row_chunk = 0
+    else:
+        _cd_row_chunk = max(1, (256_000_000 // _kj_bytes) // 8192 * 8192)
+    _cd_row_chunk = int(_os.environ.get("FRIES_CD_ROW_CHUNK", _cd_row_chunk))
 
     def _stage(level, vals_in, ndiv_in, w_in, m_in, rns, keys5, max_ndiv):
         # one compression level: systematic shared-grid (apply_HBPP_sys) or
@@ -352,34 +361,52 @@ def make_hbpp_spawner(ham: mol.MolecularHamiltonian, tens: hb.HeatBathTensors,
             o1_orb = kernels.take_along_small(s_occ, o1_idx)
             w_u1, fracD, _ = hb.u1_probs(tens, n_orb, n_elec, occ_bits,
                                          o1_orb)
+            kj = n_elec * n_virt
             if unnorm:
                 # recover the unnormalized exch row over exch_norms:
                 # u1_probs returns w/norm and frac = norm/exch_norms, so
                 # w * frac = w_raw / exch_norms directly
-                w_over_norms = w_u1 * fracD[:, None]
+                fac_b = w_u1 * fracD[:, None]
                 same_col = (s_occ // n_orb) == (o1_orb // n_orb)[:, None]
-                kill_first = same_col[:, :, None] & (
-                    jnp.arange(w_u1.shape[1]) == 0)[None, None, :]
-                joint = jnp.where(
-                    kill_first, 0.0,
-                    probsC[:, :, None] * w_over_norms[:, None, :],
-                )
+                kill_b0 = same_col
             else:
-                joint = probsC[:, :, None] * w_u1[:, None, :]
-            kj = n_elec * n_virt
-            joint = joint.reshape(joint.shape[0], kj)
+                fac_b = w_u1
+                kill_b0 = None
+            # rank-1 row sums from the factors (all entries nonnegative, so
+            # <= 0 iff the joint row is all zero; the kill_b0 correction
+            # subtracts the zeroed (e, v=0) column masses)
+            rowsumJ = jnp.sum(probsC, axis=-1) * jnp.sum(fac_b, axis=-1)
+            if kill_b0 is not None:
+                rowsumJ = rowsumJ - jnp.sum(
+                    jnp.where(kill_b0, probsC, 0.0), axis=-1
+                ) * fac_b[:, 0]
+            fac_a = jnp.where(is_doub[:, None], probsC, 0.0)
             if cfg.stage_f32:
-                joint = joint.astype(jnp.float32)
-            rowsumJ = jnp.sum(joint, axis=-1)
+                fac_a = fac_a.astype(jnp.float32)
+                fac_b = fac_b.astype(jnp.float32)
             ndivCD = jnp.where(
                 is_doub, 0, jnp.maximum(s_nvirt, 1)).astype(jnp.int32)
             valCD_in = jnp.where(is_doub | sing_ok, val, 0.0)
             valCD_in = jnp.where(is_doub & (rowsumJ <= 0), 0.0, valCD_in)
-            joint = jnp.where(is_doub[:, None], joint, 0.0)
-            val, parent, sub, _, ovf = _stage(
-                2, valCD_in, ndivCD, joint, m_samp, rns, keys5,
-                max(n_virt, kj),
-            )
+            if cfg.pivotal:
+                joint = (fac_a[:, :, None] * fac_b[:, None, :])
+                if kill_b0 is not None:
+                    joint = jnp.where(
+                        kill_b0[:, :, None]
+                        & (jnp.arange(n_virt) == 0)[None, None, :],
+                        0.0, joint,
+                    )
+                joint = joint.reshape(joint.shape[0], kj)
+                val, parent, sub, _, ovf = _stage(
+                    2, valCD_in, ndivCD, joint, m_samp, rns, keys5,
+                    max(n_virt, kj),
+                )
+            else:
+                val, parent, sub, _, ovf = compress.comp_sub_factored(
+                    valCD_in, ndivCD, fac_a, fac_b, m_samp, rns[2], s_cap,
+                    kill_b0=kill_b0, axis_name=cfg.axis_name,
+                    emit_chunk=cfg.emit_chunk, row_chunk=_cd_row_chunk,
+                )
             overflow |= ovf
             live = parent >= 0
             pidx = jnp.where(live, parent, 0)

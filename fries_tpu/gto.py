@@ -362,11 +362,12 @@ def molecule(symbols, centers, n_frozen: int = 0):
 
 # cartesian component orders per l (x-major, matching the w-factor and
 # spherical-transform tables below)
-_CART_COMPS = {
-    0: [(0, 0, 0)],
-    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
-    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
-}
+def _cart_comps(l):
+    return [(lx, ly, l - lx - ly)
+            for lx in range(l, -1, -1) for ly in range(l - lx, -1, -1)]
+
+
+_CART_COMPS = {l: _cart_comps(l) for l in range(5)}
 
 
 def _dfact(k):
@@ -384,29 +385,75 @@ def _comp_w(l, lmn):
     return np.sqrt(_dfact(l) / prod(_dfact(c) for c in lmn))
 
 
+# Real solid harmonics as cartesian monomial polynomials, PySCF m-order
+# (-l..l), each column up to overall scale (columns are renormalized
+# numerically afterwards).  Standard tabulation (e.g. Helgaker/Jorgensen/
+# Olsen table 6.3); the matrix entries below divide each monomial
+# coefficient by the w-factor to express the harmonic over
+# *unit-normalized* cartesian components.
+_SOLID_MONOMIALS = {
+    0: [{(0, 0, 0): 1.0}],
+    1: [{(1, 0, 0): 1.0}, {(0, 1, 0): 1.0}, {(0, 0, 1): 1.0}],
+    2: [
+        {(1, 1, 0): 1.0},                                       # m=-2: xy
+        {(0, 1, 1): 1.0},                                       # m=-1: yz
+        {(0, 0, 2): 2.0, (2, 0, 0): -1.0, (0, 2, 0): -1.0},     # m=0
+        {(1, 0, 1): 1.0},                                       # m=+1: xz
+        {(2, 0, 0): 1.0, (0, 2, 0): -1.0},                      # m=+2
+    ],
+    3: [
+        {(2, 1, 0): 3.0, (0, 3, 0): -1.0},                      # y(3x^2-y^2)
+        {(1, 1, 1): 1.0},                                       # xyz
+        {(0, 1, 2): 4.0, (2, 1, 0): -1.0, (0, 3, 0): -1.0},     # y(4z^2-x^2-y^2)
+        {(0, 0, 3): 2.0, (2, 0, 1): -3.0, (0, 2, 1): -3.0},     # z(2z^2-3x^2-3y^2)
+        {(1, 0, 2): 4.0, (3, 0, 0): -1.0, (1, 2, 0): -1.0},     # x(4z^2-x^2-y^2)
+        {(2, 0, 1): 1.0, (0, 2, 1): -1.0},                      # z(x^2-y^2)
+        {(3, 0, 0): 1.0, (1, 2, 0): -3.0},                      # x(x^2-3y^2)
+    ],
+    4: [
+        {(3, 1, 0): 1.0, (1, 3, 0): -1.0},                      # xy(x^2-y^2)
+        {(2, 1, 1): 3.0, (0, 3, 1): -1.0},                      # yz(3x^2-y^2)
+        {(1, 1, 2): 6.0, (3, 1, 0): -1.0, (1, 3, 0): -1.0},     # xy(6z^2-x^2-y^2)
+        {(0, 1, 3): 4.0, (2, 1, 1): -3.0, (0, 3, 1): -3.0},     # yz(4z^2-3x^2-3y^2)
+        {(4, 0, 0): 3.0, (0, 4, 0): 3.0, (0, 0, 4): 8.0,        # 35z^4-30z^2r^2+3r^4
+         (2, 2, 0): 6.0, (2, 0, 2): -24.0, (0, 2, 2): -24.0},
+        {(1, 0, 3): 4.0, (3, 0, 1): -3.0, (1, 2, 1): -3.0},     # xz(4z^2-3x^2-3y^2)
+        {(2, 0, 2): 6.0, (0, 2, 2): -6.0,                       # (x^2-y^2)(6z^2-x^2-y^2)
+         (4, 0, 0): -1.0, (0, 4, 0): 1.0},
+        {(3, 0, 1): 1.0, (1, 2, 1): -3.0},                      # xz(x^2-3y^2)
+        {(4, 0, 0): 1.0, (0, 4, 0): 1.0, (2, 2, 0): -6.0},      # x^4-6x^2y^2+y^4
+    ],
+}
+
+
+def _build_sph_coef(l):
+    """(n_cart, 2l+1) transform over unit-normalized cartesian components:
+    monomial coefficient / w(lmn) (cartesian normalization ratio)."""
+    comps = _CART_COMPS[l]
+    mat = np.zeros((len(comps), 2 * l + 1))
+    for m_i, mono in enumerate(_SOLID_MONOMIALS[l]):
+        for lmn, c in mono.items():
+            mat[comps.index(lmn), m_i] = c / _comp_w(l, lmn)
+    return mat
+
+
 # real solid harmonics in terms of *unit-normalized* cartesian components,
 # PySCF m-order (-l..l); columns renormalized numerically afterwards so only
 # relative coefficients matter.
-_SPH_COEF = {
-    0: np.array([[1.0]]),
-    1: np.eye(3),  # (x, y, z)
-    2: np.array([
-        #  m=-2   m=-1   m=0    m=+1   m=+2     (rows: xx xy xz yy yz zz)
-        [0.0, 0.0, -0.5, 0.0, 1.0],
-        [1.0, 0.0, 0.0, 0.0, 0.0],
-        [0.0, 0.0, 0.0, 1.0, 0.0],
-        [0.0, 0.0, -0.5, 0.0, -1.0],
-        [0.0, 1.0, 0.0, 0.0, 0.0],
-        [0.0, 0.0, 1.0, 0.0, 0.0],
-    ]),
-}
+_SPH_COEF = {l: _build_sph_coef(l) for l in range(5)}
 
-# per-axis parity (mod 2) of each real solid harmonic, for point-group ops
-_SPH_PARITY = {
-    0: [(0, 0, 0)],
-    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
-    2: [(1, 1, 0), (0, 1, 1), (0, 0, 0), (1, 0, 1), (0, 0, 0)],
-}
+
+def _sph_parity(l):
+    """Per-axis parity (mod 2) of each real solid harmonic (all monomials in
+    one harmonic share parity), for point-group ops."""
+    out = []
+    for mono in _SOLID_MONOMIALS[l]:
+        lmn = next(iter(mono))
+        out.append(tuple(c % 2 for c in lmn))
+    return out
+
+
+_SPH_PARITY = {l: _sph_parity(l) for l in range(5)}
 
 
 class Shell:

@@ -423,3 +423,83 @@ def test_multi_comp_unbiased(rng):
     np.testing.assert_allclose(counts, int(left), atol=1e-6)
     mean = outs.mean(0)
     assert np.abs(mean - vals).max() < 5 * unit / np.sqrt(3000)
+
+
+@pytest.mark.parametrize("row_chunk", [0, 7])
+@pytest.mark.parametrize("with_kill", [False, True])
+@pytest.mark.parametrize("f32", [False, True])
+def test_comp_sub_factored_matches_materialized(rng, row_chunk, with_kill, f32):
+    """comp_sub_factored must emit the SAME compression as comp_sub over the
+    materialized rank-1 joint (same budget, same systematic grid rn), for
+    every (chunking, kill_b0, stage-dtype) combination.  f64 factors make
+    the (values*a)*b vs values*(a*b) reassociation the only slack."""
+    n, e_k, v_k = 23, 3, 4
+    k = e_k * v_k
+    values = rng.random(n) + 0.05
+    values[4] = 0.0
+    fa = rng.random((n, e_k))
+    fb = rng.random((n, v_k))
+    kill = (rng.random((n, e_k)) < 0.4) if with_kill else None
+    ndiv = np.zeros(n, np.int32)
+    ndiv[7] = 3  # one uniform parent rides the same stage
+    ndiv[11] = 5
+
+    dt = np.float32 if f32 else np.float64
+    joint = (values[:, None, None].astype(dt) * fa[:, :, None].astype(dt)
+             * fb[:, None, :].astype(dt))
+    # comp_sub scales values internally; divide back out so its
+    # values * sub_weights reproduces the factored (values*a)*b product order
+    joint = joint.reshape(n, k)
+    if with_kill:
+        km = np.repeat(kill, v_k, axis=1) & (np.arange(k) % v_k == 0)[None, :]
+        joint = np.where(km, 0.0, joint)
+    sw = np.where(values[:, None] > 0, joint / np.maximum(values[:, None], 1e-300), 0.0)
+
+    n_samp, rn, cap = 40, 0.37, 96
+    got = compress.comp_sub_factored(
+        jnp.asarray(values), jnp.asarray(ndiv),
+        jnp.asarray(fa.astype(dt)), jnp.asarray(fb.astype(dt)),
+        n_samp, jnp.asarray(rn), cap,
+        kill_b0=jnp.asarray(kill) if with_kill else None,
+        row_chunk=row_chunk,
+    )
+    want = compress.comp_sub(
+        jnp.asarray(values), jnp.asarray(ndiv),
+        jnp.asarray(sw.astype(dt)), jnp.asarray(sw > 0),
+        n_samp, jnp.asarray(rn), cap,
+    )
+    for g, w, name in zip(got, want, ("val", "parent", "sub", "n", "ovf")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-6 if f32 else 1e-9,
+            atol=1e-12, err_msg=f"{name} row_chunk={row_chunk}",
+        )
+
+
+def test_comp_sub_factored_unbiased(rng):
+    """E[mapped-back output] == values * a (x) b over repetitions, chunked."""
+    n, e_k, v_k = 12, 2, 3
+    k = e_k * v_k
+    values = rng.random(n)
+    fa = rng.random((n, e_k))
+    fb = rng.random((n, v_k))
+    # normalize rows so the joint is a probability row (not required, but
+    # keeps the comparison scale simple)
+    fa /= fa.sum(1, keepdims=True)
+    fb /= fb.sum(1, keepdims=True)
+    ndiv = np.zeros(n, np.int32)
+    ndiv[3] = 4
+    want = values[:, None] * np.repeat(fa, v_k, 1) * np.tile(fb, (1, e_k))
+    want[3] = 0.0
+    want[3, :4] = values[3] / 4
+
+    n_samp, cap = 10, 64
+    n_rep = 4000
+    rns = jax.random.uniform(jax.random.key(3), (n_rep,), dtype=jnp.float64)
+    out = jax.jit(jax.vmap(lambda r: compress.comp_sub_factored(
+        jnp.asarray(values), jnp.asarray(ndiv), jnp.asarray(fa),
+        jnp.asarray(fb), n_samp, r, cap, row_chunk=5)[:3]))(rns)
+    ov, op, os_ = (np.asarray(x) for x in out)
+    dense = np.zeros((n, k))
+    m = op >= 0
+    np.add.at(dense, (op[m], os_[m]), ov[m] / n_rep)
+    assert np.abs(dense - want).max() < 0.02

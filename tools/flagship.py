@@ -219,13 +219,31 @@ def main():
         "e_ref": float(aux["e_ref"]),
         "e_cisd_corr": float(e_cisd),
         "exact_corr": meta["exact_corr"],
-        "error_mEh": float(out["error_mEh"]),
-        "two_sigma_mEh": float(out["two_sigma_mEh"]),
         "iat": float(out["iat"]),
         "efficiency": float(out["efficiency"]),
         "sec_per_iter": (time.time() - t0) / max(done, 1),
         "published_row": meta["published"],
     }
+    # honesty gate: an error bar on a trajectory with fewer than ~20
+    # independent post-burn samples (N_post / IAT) mostly measures the
+    # unconverged transient, not the stationary error — refuse to quote it
+    # (the reference's own runs burn 40k+ iterations before quoting,
+    # Results.tex:63 protocol)
+    n_post = len(num) - burn
+    n_indep = n_post / max(out["iat"], 1.0)
+    result["n_independent_samples"] = round(float(n_indep), 1)
+    if n_indep >= 20.0:
+        result["error_mEh"] = float(out["error_mEh"])
+        result["two_sigma_mEh"] = float(out["two_sigma_mEh"])
+    else:
+        result["diagnosis"] = (
+            f"TRANSIENT NOT BURNED IN: {n_post} post-burn iterations at "
+            f"IAT {out['iat']:.0f} = {n_indep:.1f} independent samples "
+            f"(< 20); the stationary error bar is not quotable. "
+            f"Unconverged point estimate: {out['error_mEh']:+.3f} mEh "
+            f"(would-be 2sigma {out['two_sigma_mEh']:.3f})")
+        result["unconverged_estimate_mEh"] = float(out["error_mEh"])
+        print("# " + result["diagnosis"], flush=True)
     print(json.dumps(result), flush=True)
     with open(os.path.join(result_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=1)
