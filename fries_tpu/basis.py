@@ -113,9 +113,73 @@ AUG_CCPVDZ = {
     for sym, (z, shells) in CCPVDZ.items()
 }
 
+# ---------------------------------------------------------------------------
+# cc-pVQZ (Ne): (12s,6p,3d,2f,1g) -> [5s,4p,3d,2f,1g]
+#
+# The reference's Neon_ccpvqz input archive (Results.tex:84-90) is not in
+# the repo, so the (12s,6p) HF set below is RE-DERIVED by the defining
+# Dunning construction: log-exponents optimized to the atomic-RHF energy
+# minimum (tools/atomic_hf.py closed-form same-center integrals +
+# L-BFGS; converged E_HF(Ne) = -128.5434701 vs the literature cc-pVQZ
+# value -128.543470 - 0.1 uEh agreement), then the 1s/2s/2p
+# general-contraction coefficients taken as the atomic-HF orbitals of the
+# uncontracted set (tools/derive_ccpvqz.py; the same derivation
+# reproduced the published cc-pVDZ rows to < 5e-7).  Residual differences
+# from the lost published exponents enter all energies only at second
+# order about this common stationary point.
+# ---------------------------------------------------------------------------
+
+_NE_QZ_S_EXP = [99777.5264, 14934.9460, 3388.8290, 957.0318, 311.6157,
+                112.2774, 43.5688, 17.8727, 7.5158, 2.3364, 0.8997, 0.3300]
+_NE_QZ_P_EXP = [99.7430, 23.1637, 7.1131, 2.4418, 0.8340, 0.2661]
+
+# atomic-HF orbital rows from tools/derive_ccpvqz.py (E = -128.5434701,
+# eps(1s/2s/2p) = -32.7715 / -1.9294 / -0.8490 vs HF-limit -32.7724 /
+# -1.9304 / -0.8504); contraction scale is arbitrary (integrals_cc
+# renormalizes every AO)
+_NE_QZ_1S = [0.0000863, 0.0006714, 0.0035309, 0.0146772, 0.0506748,
+             0.1426512, 0.3036701, 0.4011915, 0.2198006, 0.0186578,
+             -0.0021530, 0.0009457]
+_NE_QZ_2S = [-0.0000202, -0.0001583, -0.0008274, -0.0035032, -0.0121610,
+             -0.0367303, -0.0857439, -0.1585233, -0.1148736, 0.2984301,
+             0.5857548, 0.2722653]
+_NE_QZ_2P = [0.0101765, 0.0712382, 0.2688451, 0.5655605, 0.6798337,
+             0.3748485]
+
+
+def _ne_qz_shells():
+    return [
+        (0, list(zip(_NE_QZ_S_EXP, _NE_QZ_1S))),
+        (0, list(zip(_NE_QZ_S_EXP, _NE_QZ_2S))),
+        (0, [(_NE_QZ_S_EXP[-3], 1.0)]),
+        (0, [(_NE_QZ_S_EXP[-2], 1.0)]),
+        (0, [(_NE_QZ_S_EXP[-1], 1.0)]),
+        (1, list(zip(_NE_QZ_P_EXP, _NE_QZ_2P))),
+        (1, [(_NE_QZ_P_EXP[-3], 1.0)]),
+        (1, [(_NE_QZ_P_EXP[-2], 1.0)]),
+        (1, [(_NE_QZ_P_EXP[-1], 1.0)]),
+        (2, [(6.471, 1.0)]),
+        (2, [(2.213, 1.0)]),
+        (2, [(0.7470, 1.0)]),
+        (3, [(4.657, 1.0)]),
+        (3, [(1.524, 1.0)]),
+        (4, [(2.983, 1.0)]),
+    ]
+
+
+class _LazyQZ(dict):
+    def __missing__(self, key):
+        if key == "Ne":
+            return (10, _ne_qz_shells())
+        raise KeyError(key)
+
+
+CCPVQZ = _LazyQZ()
+
 BASIS_SETS = {
     "cc-pvdz": CCPVDZ,
     "aug-cc-pvdz": AUG_CCPVDZ,
+    "cc-pvqz": CCPVQZ,
 }
 
 

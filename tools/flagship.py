@@ -123,6 +123,13 @@ def main():
     ap.add_argument("--determ", type=int, default=0,
                     help="semistochastic: use the top-k CISD dets as the "
                          "deterministic subspace (Results.tex:142 class)")
+    ap.add_argument("--trial_k", type=int, default=0,
+                    help="truncate the estimator trial vector to the top-k "
+                         "CISD dets (0 = full CISD).  The published rows "
+                         "use a bare HF trial (Results.tex tables); any "
+                         "CISD truncation is still a far lower-variance "
+                         "estimator, and a smaller trial shrinks the "
+                         "H|trial> lookup each iteration pays.")
     ap.add_argument("--scan", type=int, default=25)
     ap.add_argument("--block", type=int, default=500)
     ap.add_argument("--seed", type=int, default=20)
@@ -139,6 +146,9 @@ def main():
     from fries_tpu.drivers import frisys
 
     ham, twords, tvals, e_cisd = build_system(args.system)
+    if args.trial_k and args.trial_k < len(tvals):
+        top = np.argsort(-np.abs(tvals))[: args.trial_k]
+        twords, tvals = twords[top], tvals[top]
     print(f"# trial: {len(tvals)} CISD dets", flush=True)
 
     cfg = frisys.FrisysConfig(
@@ -156,7 +166,9 @@ def main():
         ham, cfg, seed=args.seed, trial=(twords, tvals),
         init_vec=(twords, tvals * scale), determ_keys=determ_keys)
     print(f"# build done ({time.time() - t0:.0f}s); e_ref = "
-          f"{float(aux['e_ref']):.10f}", flush=True)
+          f"{float(aux['e_ref']):.10f}; H|trial> = "
+          f"{len(aux['num_vals'])} rows (per-iter estimator lookup)",
+          flush=True)
 
     os.makedirs(result_dir, exist_ok=True)
     streams = {name: open(os.path.join(result_dir, f"{name}.txt"), "a")
