@@ -81,6 +81,20 @@ def _emit(payload):
     print(json.dumps(payload))
 
 
+def _real_or_synth(real_name, synth_fn, real_label, synth_label):
+    """Real-molecule Hamiltonian from tools/real_systems (round-5 default),
+    synthetic fallback behind FRIES_BENCH_SYNTH=1 or on build failure."""
+    if not os.environ.get("FRIES_BENCH_SYNTH"):
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import real_systems
+            return getattr(real_systems, real_name)(), real_label
+        except Exception as e:  # pragma: no cover
+            sys.stderr.write(f"# real {real_name} failed ({e}); synthetic\n")
+    return synth_fn(), synth_label
+
+
 def bench_frifull_hh():
     """BASELINE.md required config: frifull_hh, 4-site Hubbard-Holstein
     (exact H*v, systematic vector compression)."""
@@ -123,10 +137,36 @@ def bench_frifull_mol():
     from fries_tpu import synth
     from fries_tpu.drivers import frifull, power
 
-    ham = synth.make_system(14, 6, seed=1, scale_two=0.1)
+    def _h2o_cas():
+        # real H2O/cc-pVDZ integrals in a (10e, 14o) active space: the
+        # exact-H driver stores the uncompressed H*v support, so the full
+        # FCI space must fit the arena (the reference's max_size bound,
+        # frifull_mol.cpp) - C(14,5)^2 = 4e6 dets
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import real_systems
+        full = real_systems.h2o_ccpvdz()
+        k = 12  # (10e, 12o): FCI dim 792^2 = 627k fits the 2^21 arena
+        from fries_tpu.ops import molecule as mol
+        return mol.MolecularHamiltonian(
+            hcore=full.hcore[:k, :k], eris=full.eris[:k, :k, :k, :k],
+            symm=full.symm[:k], n_orb=k, n_elec=full.n_elec,
+            n_frozen=full.n_frozen)
+
+    ham, sys_label = (
+        synth.make_system(14, 6, seed=1, scale_two=0.1),
+        "14-orb/6-elec synthetic")
+    if not os.environ.get("FRIES_BENCH_SYNTH"):
+        try:
+            ham = _h2o_cas()
+            sys_label = "real H2O/cc-pVDZ (10e,14o) CAS"
+        except Exception as e:
+            sys.stderr.write(f"# real H2O CAS failed ({e}); synthetic\n")
     cfg = power.PowerConfig(
-        eps=0.005, target_nonz=30_000, capacity=1 << 18,
+        eps=0.005, target_nonz=30_000,
+        capacity=1 << 21 if sys_label.startswith("real") else 1 << 18,
         target_norm=60_000.0, batch=1024, spawn_rows=49_152,
+        dedup_cap=1 << 19 if sys_label.startswith("real") else 0,
     )
     step, run_steps, state, aux = frifull.build(ham, cfg, seed=0)
     args = (aux["num_keys"], aux["num_vals"], aux["den_keys"],
@@ -137,7 +177,7 @@ def bench_frifull_mol():
     )
     overflow = bool(np.asarray(m["overflow"]).any())
     _emit({
-        "metric": "frifull_mol iterations/sec (14-orb/6-elec synthetic, "
+        "metric": f"frifull_mol iterations/sec ({sys_label}, "
                   "exact H, 30k kept dets)",
         "value": round(1.0 / sec, 4), "unit": "iters/s", "vs_baseline": 0.0,
         "ms_per_iter": round(sec * 1e3, 1),
@@ -148,12 +188,14 @@ def bench_frifull_mol():
 
 def bench_fciqmc():
     """BASELINE.md required config: fciqmc_mol at production walker counts
-    (N2-stretched-size synthetic, heat-bath distribution, 5M walkers -
+    (real stretched N2/cc-pVDZ r=4.2, heat-bath distribution, 5M walkers -
     the scale proof VERDICT round-2 item 9 asks for)."""
     from fries_tpu import synth
     from fries_tpu.drivers import fciqmc
 
-    ham = synth.n2_ccpvdz_like(seed=2)
+    ham, sys_label = _real_or_synth(
+        "n2_stretched", lambda: synth.n2_ccpvdz_like(seed=2),
+        "real stretched N2/cc-pVDZ", "N2-stretched-size synthetic")
     cfg = fciqmc.FciqmcConfig(
         eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
         attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 22,
@@ -190,7 +232,7 @@ def bench_fciqmc():
     e_est = (float(np.asarray(m["proj_num"]).reshape(-1)[-1])
              / float(np.asarray(m["proj_den"]).reshape(-1)[-1]))
     _emit({
-        "metric": "fciqmc_mol iterations/sec (N2-stretched-size synthetic, "
+        "metric": f"fciqmc_mol iterations/sec ({sys_label}, "
                   "HB, 5M-walker target)",
         "value": round(1.0 / sec, 3), "unit": "iters/s", "vs_baseline": 0.0,
         "ms_per_iter": round(sec * 1e3, 2),
@@ -210,11 +252,22 @@ def bench_subsp_sharded():
     from fries_tpu.drivers import subspace
     from fries_tpu.ops import molecule as mol
 
-    ham = synth.ne_augccpvdz_like(seed=1)
+    ham, sys_label = _real_or_synth(
+        "ne_ccpvqz", lambda: synth.ne_augccpvdz_like(seed=1),
+        "real Ne/cc-pVQZ", "Ne-size synthetic")
     hf_words, hf_occ, _ = mol.hf_reference(ham)
-    d1, _ = dets.single_parity(
-        hf_words[None], jnp.asarray([4]), jnp.asarray([10])
-    )
+    if sys_label.startswith("real"):
+        # symmetry-allowed single: highest occupied -> first same-irrep virt
+        symm = np.asarray(ham.symm)
+        half = ham.n_elec // 2
+        o = half - 1
+        v = next(i for i in range(half, ham.n_orb) if symm[i] == symm[o])
+        d1, _ = dets.single_parity(
+            hf_words[None], jnp.asarray([o]), jnp.asarray([v]))
+    else:
+        d1, _ = dets.single_parity(
+            hf_words[None], jnp.asarray([4]), jnp.asarray([10])
+        )
     t = 2
     tk = np.tile(np.asarray(dets.invalid_det(ham.n_words)), (t, 1, 1))
     tv = np.zeros((t, 1))
@@ -237,7 +290,7 @@ def bench_subsp_sharded():
         lambda m: float(np.asarray(m["norms"]).reshape(-1)[-1]),
     )
     _emit({
-        "metric": "subsp_mol iterations/sec (Ne-size synthetic, 2 states, "
+        "metric": f"subsp_mol iterations/sec ({sys_label}, 2 states, "
                   "hash-sharded path, 100k kept/vector)",
         "value": round(1.0 / sec, 3), "unit": "iters/s", "vs_baseline": 0.0,
         "ms_per_iter": round(sec * 1e3, 1),
@@ -273,7 +326,25 @@ def main():
     else:
         rung = int(os.environ.get("FRIES_BENCH_RUNG", "0"))
         label, vec_nonz, matr_samp, cap, spawn_cap, n_warm, n_time = FULL_LADDER[rung]
-        ham = synth.n2_ccpvdz_like(seed=1)
+        if os.environ.get("FRIES_BENCH_SYNTH"):
+            ham = synth.n2_ccpvdz_like(seed=1)
+            sys_label = "N2-ccpvdz-size synthetic"
+        else:
+            # the real molecule (round-5): N2/cc-pVDZ from the in-repo
+            # integrals/RHF pipeline, frozen core, HF trial - the exact
+            # headline config BASELINE.json names.  Falls back to the
+            # synthetic if the cache build fails (e.g. no scipy).
+            try:
+                sys.path.insert(
+                    0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+                import real_systems
+                ham = real_systems.n2_ccpvdz()
+                sys_label = "real N2/cc-pVDZ (frozen core)"
+            except Exception as e:  # pragma: no cover
+                sys.stderr.write(f"# real N2 build failed ({e}); synthetic\n")
+                ham = synth.n2_ccpvdz_like(seed=1)
+                sys_label = "N2-ccpvdz-size synthetic"
 
     cfg = frisys.FrisysConfig(
         eps=0.001, vec_nonz=vec_nonz, matr_samp=matr_samp, capacity=cap,
@@ -322,7 +393,8 @@ def main():
         json.dumps(
             {
                 "metric": "sampled H*v nonzeros/sec/chip, frisys HB-PP, "
-                f"N2-ccpvdz-size synthetic, {label} kept dets"
+                f"{'small synthetic' if small else sys_label}, "
+                f"{label} kept dets"
                 + (" (SMALL smoke config)" if small else ""),
                 "value": round(nonzeros_per_sec, 1),
                 "unit": "nonzeros/s",

@@ -106,20 +106,35 @@ def _irrep_id(op_signs, chars):
     return 0  # C1
 
 
-def rhf(s, hcore, eri_chem, n_elec, max_iter=200, tol=1e-11):
-    """Closed-shell RHF with DIIS.  Returns (C, mo_energy, e_elec)."""
+def rhf(s, hcore, eri_chem, n_elec, max_iter=200, tol=1e-11,
+        sym_group=None, guess="gwh"):
+    """Closed-shell RHF with DIIS.  Returns (C, mo_energy, e_elec).
+
+    ``sym_group``: optional list of AO-basis point-group operation
+    matrices; when given, the Fock matrix is group-averaged each
+    iteration, constraining the SCF to the symmetric manifold (what the
+    reference's PySCF runs do with symmetry=True).  ``guess``: "gwh"
+    (generalized Wolfsberg-Helmholz; finds the bonded solution at
+    stretched geometries where the bare core guess lands ~17 mEh high
+    on N2 r=4.2) or "core"."""
     n_occ = n_elec // 2
     evals, evecs = np.linalg.eigh(s)
     x = evecs @ np.diag(evals ** -0.5) @ evecs.T
     nao = s.shape[0]
     d = np.zeros((nao, nao))
-    # core guess
-    f = hcore
+    if guess == "gwh":
+        hd = np.diag(hcore)
+        f = 0.5 * 1.75 * s * (hd[:, None] + hd[None, :])
+        np.fill_diagonal(f, hd)
+    else:
+        f = hcore
     errs, focks = [], []
     e_el = 0.0
     mo_e = None
     c = None
     for it in range(max_iter):
+        if sym_group is not None:
+            f = sum(g.T @ f @ g for g in sym_group) / len(sym_group)
         fp = x.T @ f @ x
         mo_e, cp = np.linalg.eigh(fp)
         c = x @ cp
@@ -188,12 +203,36 @@ def purify_and_label(c, mo_e, s, op_signs, rep_mats, degen_tol=1e-7):
     irreps = np.zeros(nmo, np.int32)
     for k in range(nmo):
         chars = []
+        impure = False
         for r in rep_mats:
             val = float(c[:, k] @ s @ r @ c[:, k])
             chars.append(1 if val > 0 else -1)
-            if abs(abs(val) - 1.0) > 1e-6:
+            impure |= abs(abs(val) - 1.0) > 1e-9
+        if impure:
+            # finite SCF convergence leaks tiny cross-irrep components
+            # (observed on stretched N2: char 0.999994).  Apply the exact
+            # abelian projector onto the dominant irrep, P = prod_r
+            # (I + s_r R_r)/2, then S-orthonormalize against same-irrep
+            # MOs already processed; the energy perturbation is
+            # O(impurity^2).
+            vec = c[:, k].copy()
+            for sgn, r in zip(chars, rep_mats):
+                vec = 0.5 * (vec + sgn * (r @ vec))
+            for j in range(k):
+                if np.array_equal(irreps[j], _irrep_id(op_signs, chars)):
+                    ov = float(c[:, j] @ s @ vec)
+                    vec = vec - ov * c[:, j]
+            nrm = float(vec @ s @ vec)
+            if nrm < 0.25:
                 raise RuntimeError(
-                    f"MO {k} not symmetry-pure (char {val:.6f})")
+                    f"MO {k} not symmetry-purifiable (projected norm "
+                    f"{nrm:.3f})")
+            c[:, k] = vec / np.sqrt(nrm)
+            for r, want in zip(rep_mats, chars):
+                val = float(c[:, k] @ s @ r @ c[:, k])
+                if abs(val - want) > 1e-8:
+                    raise RuntimeError(
+                        f"MO {k} impure after projection (char {val:.8f})")
         irreps[k] = _irrep_id(op_signs, chars)
     # PySCF orders exactly-degenerate MOs by ascending irrep ID (observed in
     # the reference's symm.txt: N2 pi pairs "6 7", Ne p triples "5 6 7")
@@ -222,8 +261,17 @@ def build_molecule(symbols, centers, basis="cc-pvdz", n_frozen=0,
                           for sym in symbols], float)
     n_elec = int(charges.sum())
     hcore_ao = t + v
-    c, mo_e, e_elec = rhf(s, hcore_ao, eri, n_elec)
     op_signs, rep_mats = symmetry_ops(centers, charges, ao_meta)
+    # full abelian group from the generator reps (for the symmetry-
+    # constrained SCF; PySCF symmetry=True equivalent)
+    group = [np.eye(s.shape[0])]
+    for r_m in rep_mats:
+        group = group + [g @ r_m for g in group]
+    uniq = []
+    for g in group:
+        if not any(np.allclose(g, u) for u in uniq):
+            uniq.append(g)
+    c, mo_e, e_elec = rhf(s, hcore_ao, eri, n_elec, sym_group=uniq)
     c, irreps = purify_and_label(c, mo_e, s, op_signs, rep_mats)
     ham, info = _ham_from_mos(hcore_ao, eri, c, irreps, n_elec, n_frozen)
     info.update(e_elec=e_elec, e_nuc=e_nuc, e_hf_total=e_elec + e_nuc,
@@ -313,6 +361,34 @@ def match_reference(hmo_ours, hmo_ref, mo_e, irreps, ref_irreps=None,
             start = i
     u = np.eye(n)
     scale = np.max(np.abs(hmo_ref))
+    # global phase initialization by spanning-tree sign propagation over the
+    # significant reference off-diagonals: the cyclic per-block sweeps below
+    # only flip one block at a time and can stall in a frustrated local
+    # minimum when several phases are wrong simultaneously (observed after a
+    # bit-level change in the AO transform's column scaling rounded the
+    # degenerate eigenvectors differently)
+    sgn = np.ones(n)
+    thresh = 1e-4 * scale
+    order = np.argsort(-np.abs(hmo_ref), axis=None)
+    visited = np.zeros(n, bool)
+    edges = [(i, j) for e in order
+             for i, j in [divmod(int(e), n)] if i != j
+             and abs(hmo_ref[i, j]) > thresh and abs(h[i, j]) > thresh]
+    # hcore is symmetry-block-diagonal, so the significant-off-diagonal
+    # graph is disconnected (one component per irrep block, plus isolated
+    # rows): seed every component with +1 and propagate within it
+    while not visited.all():
+        visited[int(np.argmin(visited))] = True
+        changed = True
+        while changed:
+            changed = False
+            for i, j in edges:
+                if visited[i] != visited[j]:
+                    a, b = (i, j) if visited[i] else (j, i)
+                    sgn[b] = sgn[a] * np.sign(h[i, j] * hmo_ref[i, j])
+                    visited[b] = True
+                    changed = True
+    u = u * sgn[None, :]
     for sweep in range(60):
         cur = u.T @ h @ u
         err = np.max(np.abs(cur - hmo_ref))
