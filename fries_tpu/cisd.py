@@ -74,14 +74,25 @@ def enumerate_cisd(ham: mol.MolecularHamiltonian, target_irrep: int = 0):
     for k, occ in enumerate(occs):
         for p in occ:
             words[k, p // 32] |= np.uint32(1 << (p % 32))
-    # sort in packed-key order (framework arena order)
-    keys = np.asarray(dets.pack_key(jnp.asarray(words)))
-    order = np.argsort(keys, kind="stable")
+    # sort in framework arena order.  pack_key only fits 2*n_orb <= 62 bits
+    # (dets.PACK_MAX_WORDS); wider systems (e.g. Ne/cc-pVQZ, 54 orbitals =
+    # 4 words) sort lexicographically most-significant-word-first, matching
+    # arena._sort_perm's multiword path — the packed shortcut silently
+    # COLLIDED keys here and the paranoia-dedup then threw away most of the
+    # CISD space (579 of ~18k dets survived, and the truncated-key spawn
+    # matching produced a nonsensical H: CISD "below" FCI).
+    if dets.packable(n_words):
+        keys = np.asarray(dets.pack_key(jnp.asarray(words)))
+        order = np.argsort(keys, kind="stable")
+        words = words[order]
+        keys = keys[order]
+        keep = np.ones(len(keys), bool)
+        keep[1:] = keys[1:] != keys[:-1]
+        return words[keep]
+    order = np.lexsort(tuple(words[:, w] for w in range(n_words)))
     words = words[order]
-    # dedup (paranoia; enumeration is already unique)
-    keys = keys[order]
-    keep = np.ones(len(keys), bool)
-    keep[1:] = keys[1:] != keys[:-1]
+    keep = np.ones(len(words), bool)
+    keep[1:] = np.any(words[1:] != words[:-1], axis=1)
     return words[keep]
 
 
@@ -92,7 +103,7 @@ def build_dense_h(ham: mol.MolecularHamiltonian, det_words, chunk=256):
     set are discarded (CISD projection)."""
     det_words = np.asarray(det_words)
     n = det_words.shape[0]
-    keys = jnp.asarray(dets.pack_key(jnp.asarray(det_words)))
+    sorted_words = jnp.asarray(det_words)
     occ_all = dets.occ_list(jnp.asarray(det_words), ham.n_bits, ham.n_elec)
     tmpl = mol.ExcitationTemplate.build(ham.n_orb, ham.n_elec)
 
@@ -100,10 +111,10 @@ def build_dense_h(ham: mol.MolecularHamiltonian, det_words, chunk=256):
     def chunk_rows(words_c, occ_c):
         w, amp, _ = mol.exact_offdiag_batch(
             ham, tmpl, words_c, occ_c, jnp.ones((words_c.shape[0],)), 1.0)
-        qk = dets.pack_key(w.reshape(-1, ham.n_words))
-        pos = dets.searchsorted_i64(keys, qk)
-        pos_c = jnp.clip(pos, 0, n - 1)
-        hit = (keys[pos_c] == qk) & (amp.reshape(-1) != 0.0)
+        # multiword-safe lookup (pack_key collides beyond 62 bits)
+        pos_c, hit = dets.lookup_dets(
+            sorted_words, w.reshape(-1, ham.n_words))
+        hit = hit & (amp.reshape(-1) != 0.0)
         cols = jnp.where(hit, pos_c, n)  # n = dump slot
         b = words_c.shape[0]
         rows = jnp.repeat(jnp.arange(b, dtype=jnp.int32),

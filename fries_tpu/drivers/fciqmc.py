@@ -256,21 +256,27 @@ def build(ham: mol.MolecularHamiltonian, cfg: FciqmcConfig, seed: int,
             # spawn_cap is flagged (the driver aborts on overflow, matching
             # the reference's hard Adder capacity)
             n_w = new_words.shape[1]
+            if dets.packable(n_w):
+                sort_keys = [dets.pack_key(new_words)]
+            else:  # wide dets: lexicographic most-significant-word first
+                sort_keys = dets.sort_key_columns(new_words)
             srt = lax.sort(
-                [dets.pack_key(new_words), spawn_val]
+                sort_keys + [spawn_val]
                 + [new_words[:, i] for i in range(n_w)]
                 + [ini.astype(jnp.int32)],
-                num_keys=1, is_stable=False,
+                num_keys=len(sort_keys), is_stable=False,
             )
+            nk = len(sort_keys)
             n_live = jnp.sum(
                 (~dets.is_invalid(new_words)).astype(jnp.int32)
             )
             overflow |= n_live > cfg.spawn_cap
-            spawn_val = srt[1][: cfg.spawn_cap]
+            spawn_val = srt[nk][: cfg.spawn_cap]
             new_words = jnp.stack(
-                [srt[2 + i][: cfg.spawn_cap] for i in range(n_w)], axis=1
+                [srt[nk + 1 + i][: cfg.spawn_cap] for i in range(n_w)],
+                axis=1,
             )
-            ini = srt[2 + n_w][: cfg.spawn_cap] > 0
+            ini = srt[nk + 1 + n_w][: cfg.spawn_cap] > 0
 
         # death/cloning BEFORE merging spawns (fciqmc_mol.cpp:404-411):
         # spawned walkers land on the post-death populations

@@ -280,3 +280,121 @@ def atom_energy(s_exps, p_exps, z=10, n_elec=10):
     s_mat, t_mat, v_mat, eri = basis.integrals()
     e, _, _ = rhf(s_mat, t_mat, v_mat, eri, n_elec)
     return e
+
+
+class AtomBasisPrim:
+    """Same-center basis where EVERY primitive is its own AO (uncontracted),
+    arbitrary l per group: [(l, [exps...]), ...].  Spherical AOs, normalized.
+
+    AO order: for each (l, exps) group, for each exponent, the 2l+1 real
+    solid harmonics (PySCF m-order)."""
+
+    def __init__(self, groups, z):
+        self.groups = [(int(l), list(map(float, es))) for l, es in groups]
+        self.z = float(z)
+        self.n = sum((2 * l + 1) * len(es) for l, es in self.groups)
+
+    def _shell_list(self):
+        """One gto.Shell per primitive."""
+        zero3 = np.zeros(3)
+        out = []
+        for l, es in self.groups:
+            for e in es:
+                out.append(gto.Shell(l, zero3, [e], [1.0], 0))
+        return out
+
+    def integrals(self):
+        shells = self._shell_list()
+        ns = len(shells)
+        # spherical transform per shell
+        tr = [gto._SPH_COEF[sh.l] for sh in shells]
+        nsph_of = [t.shape[1] for t in tr]
+        ncart_of = [t.shape[0] for t in tr]
+        soffs = np.cumsum([0] + nsph_of)
+        n = soffs[-1]
+
+        # one-electron: same-center closed forms per shell pair
+        s_m = np.zeros((n, n))
+        t_m = np.zeros((n, n))
+        v_m = np.zeros((n, n))
+        for i, shA in enumerate(shells):
+            wA = np.array([gto._comp_w(shA.l, lmn)
+                           for lmn in gto._CART_COMPS[shA.l]])
+            cA = shA.coefs[0]
+            for j, shB in enumerate(shells):
+                if j > i:
+                    continue
+                wB = np.array([gto._comp_w(shB.l, lmn)
+                               for lmn in gto._CART_COMPS[shB.l]])
+                cB = shB.coefs[0]
+                a, b = shA.exps[0], shB.exps[0]
+                blocks = {}
+                blocks['s'] = _overlap_cart(shA.l, shB.l, a, b)
+                blocks['t'] = _kinetic_cart(shA.l, shB.l, a, b)
+                blocks['v'] = _nuclear_cart(shA.l, shB.l, a, b, self.z)
+                for key, mat in (('s', s_m), ('t', t_m), ('v', v_m)):
+                    blk = blocks[key] * cA * cB * np.outer(wA, wB)
+                    sph = tr[i].T @ blk @ tr[j]
+                    mat[soffs[i]:soffs[i+1], soffs[j]:soffs[j+1]] = sph
+                    mat[soffs[j]:soffs[j+1], soffs[i]:soffs[i+1]] = sph.T
+
+        # ERIs: merge shells by l into supershells (vectorized over
+        # primitive quartets inside _same_center_eri)
+        super_sh = []
+        sph_rows = []   # per (l-group) list of AO row indices per (prim, m)
+        zero3 = np.zeros(3)
+        row = 0
+        shell_cursor = 0
+        for l, es in self.groups:
+            super_sh.append(gto.Shell(l, zero3, es, np.ones(len(es)), 0))
+            rows = np.arange(row, row + len(es) * (2 * l + 1)).reshape(
+                len(es), 2 * l + 1)
+            sph_rows.append(rows)
+            row += len(es) * (2 * l + 1)
+            shell_cursor += len(es)
+        eri = np.zeros((n, n, n, n))
+        ng = len(super_sh)
+        for ia in range(ng):
+            for ib in range(ng):
+                for ic in range(ng):
+                    for id_ in range(ng):
+                        blk = _same_center_eri(
+                            super_sh[ia], super_sh[ib],
+                            super_sh[ic], super_sh[id_])
+                        # blk: (na, nb, nc, nd, cA, cB, cC, cD) cartesians
+                        ta = gto._SPH_COEF[super_sh[ia].l]
+                        tb = gto._SPH_COEF[super_sh[ib].l]
+                        tc = gto._SPH_COEF[super_sh[ic].l]
+                        td = gto._SPH_COEF[super_sh[id_].l]
+                        wa = np.array([gto._comp_w(super_sh[ia].l, c)
+                                       for c in gto._CART_COMPS[super_sh[ia].l]])
+                        wb = np.array([gto._comp_w(super_sh[ib].l, c)
+                                       for c in gto._CART_COMPS[super_sh[ib].l]])
+                        wc = np.array([gto._comp_w(super_sh[ic].l, c)
+                                       for c in gto._CART_COMPS[super_sh[ic].l]])
+                        wd = np.array([gto._comp_w(super_sh[id_].l, c)
+                                       for c in gto._CART_COMPS[super_sh[id_].l]])
+                        sph = np.einsum(
+                            "pqrsabcd,am,bn,co,dk->pqrsmnok",
+                            blk,
+                            ta * wa[:, None], tb * wb[:, None],
+                            tc * wc[:, None], td * wd[:, None],
+                            optimize=True)
+                        ra, rb = sph_rows[ia], sph_rows[ib]
+                        rc, rd = sph_rows[ic], sph_rows[id_]
+                        na, ma = ra.shape
+                        nb_, mb = rb.shape
+                        nc_, mc = rc.shape
+                        nd_, md = rd.shape
+                        eri[np.ix_(ra.reshape(-1), rb.reshape(-1),
+                                   rc.reshape(-1), rd.reshape(-1))] = (
+                            sph.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(
+                                na * ma, nb_ * mb, nc_ * mc, nd_ * md))
+        scale = 1.0 / np.sqrt(np.diag(s_m))
+        s_m *= np.outer(scale, scale)
+        t_m *= np.outer(scale, scale)
+        v_m *= np.outer(scale, scale)
+        eri = eri * (scale[:, None, None, None] * scale[None, :, None, None]
+                     * scale[None, None, :, None]
+                     * scale[None, None, None, :])
+        return s_m, t_m, v_m, eri

@@ -119,7 +119,11 @@ def main():
     ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--initiator", type=float, default=0.5)
     ap.add_argument("--init_frac", type=float, default=0.5,
-                    help="initial 1-norm as a fraction of target")
+                    help="initial 1-norm as a fraction of target; 0 = the "
+                         "reference's own free-growth protocol (start at "
+                         "the RAW CISD norm and let the S=0 growth phase "
+                         "carry the population to the target, "
+                         "frisys_mol.cpp + N2_load/S.txt artifact)")
     ap.add_argument("--determ", type=int, default=0,
                     help="semistochastic: use the top-k CISD dets as the "
                          "deterministic subspace (Results.tex:142 class)")
@@ -160,7 +164,10 @@ def main():
     if args.determ:
         top = np.argsort(-np.abs(tvals))[: args.determ]
         determ_keys = twords[top]
-    scale = args.init_frac * budget / np.abs(tvals).sum()
+    if args.init_frac > 0:
+        scale = args.init_frac * budget / np.abs(tvals).sum()
+    else:
+        scale = 1.0  # free growth from the raw CISD vector
     t0 = time.time()
     step, run_steps, state, aux = frisys.build(
         ham, cfg, seed=args.seed, trial=(twords, tvals),
