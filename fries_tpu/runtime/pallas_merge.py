@@ -1202,12 +1202,6 @@ def accumulate_multi_pallas(arena, spawn_keys, spawn_vals, spawn_rows,
 
     if version is None:
         version = os.environ.get("FRIES_MERGE_KERNEL", "v2")
-    if version == "v3":
-        from fries_tpu.runtime import pallas_merge_v3 as v3
-
-        return v3.accumulate_multi_pallas_v3(
-            arena, spawn_keys, spawn_vals, spawn_rows, spawn_ini,
-            interpret=interpret)
 
     c, w = arena.keys.shape
     r = arena.n_vecs
@@ -1373,12 +1367,6 @@ def accumulate_pallas(arena, spawn_keys, spawn_vals, spawn_ini,
 
     if version is None:
         version = os.environ.get("FRIES_MERGE_KERNEL", "v2")
-    if version == "v3":
-        from fries_tpu.runtime import pallas_merge_v3 as v3
-
-        return v3.accumulate_pallas_v3(
-            arena, spawn_keys, spawn_vals, spawn_ini, origin_row, dest_row,
-            keep_mask=keep_mask, interpret=interpret)
 
     c, w = arena.keys.shape
     r = arena.n_vecs

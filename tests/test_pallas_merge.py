@@ -65,7 +65,7 @@ def _rand_case(rng, n_words, capacity, n_occ, n_spawn, n_universe,
     return a, jnp.asarray(skeys), jnp.asarray(svals), jnp.asarray(sini)
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 @pytest.mark.parametrize("n_words", [1, 2])
 @pytest.mark.parametrize("trial", range(3))
 def test_matches_xla_accumulate(n_words, trial, version):
@@ -93,7 +93,7 @@ def test_matches_xla_accumulate(n_words, trial, version):
     assert np.all(pk[1:] >= pk[:-1])
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 def test_empty_spawns(version):
     rng = np.random.default_rng(7)
     a, sk, sv, si = _rand_case(rng, 2, 128, n_occ=40, n_spawn=32,
@@ -106,7 +106,7 @@ def test_empty_spawns(version):
     assert _arena_dict(got) == pytest.approx(_arena_dict(ref))
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 def test_empty_arena(version):
     rng = np.random.default_rng(8)
     a = arena_mod.make(128, 2, 1)
@@ -123,7 +123,7 @@ def test_empty_arena(version):
         assert np.isclose(dgot[k], dref[k]), k
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 def test_overflow_flagged(version):
     rng = np.random.default_rng(9)
     a, sk, sv, si = _rand_case(rng, 2, 64, n_occ=60, n_spawn=200,
@@ -137,7 +137,7 @@ def test_overflow_flagged(version):
     assert bool(gstats["overflow"])
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 @pytest.mark.parametrize("trial", range(2))
 def test_two_row_power_layout(trial, version):
     """origin_row=0 gate / dest_row=1 accumulate - the power-step layout."""
@@ -167,7 +167,7 @@ def test_two_row_power_layout(trial, version):
             np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 @pytest.mark.parametrize("n_rows", [2, 3])
 @pytest.mark.parametrize("trial", range(2))
 def test_multi_row_matches_xla(n_rows, trial, version):
@@ -201,7 +201,7 @@ def test_multi_row_matches_xla(n_rows, trial, version):
             np.asarray(ref.vals[row])[rvalid], rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2"])
 @pytest.mark.parametrize("trial", range(2))
 def test_fused_compaction_matches_compact_then_accumulate(trial, version):
     """keep_mask drop-dead mode == arena.compact followed by accumulate."""
