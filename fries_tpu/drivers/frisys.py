@@ -48,6 +48,7 @@ class FrisysConfig:
     target_norm: float = 0.0
     shift_interval: int = 10
     shift_damping: float = 0.05
+    shift_tracking: float = 0.0   # see power.PowerConfig.shift_tracking
     unnorm: bool = False    # HB_unnorm distribution variant
     pivotal: bool = False   # pivotal per-stage compression (apply_HBPP_piv,
                             # heat_bathPP.cpp:994-1419) instead of systematic
@@ -87,6 +88,7 @@ class FrisysConfig:
             target_norm=self.target_norm,
             shift_interval=self.shift_interval,
             shift_damping=self.shift_damping,
+            shift_tracking=self.shift_tracking,
             axis_name=self.axis_name,
             n_shards=self.n_shards,
             exchange_cap=self.exchange_cap,

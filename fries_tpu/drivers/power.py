@@ -43,6 +43,20 @@ class PowerConfig:
     target_norm: float = 0.0
     shift_interval: int = 10
     shift_damping: float = 0.05
+    shift_tracking: float = 0.0   # extra deviation-control term: once the
+                                  # controller is active, each update also
+                                  # subtracts tracking/(interval*eps) *
+                                  # ln(norm/target), pinning the stationary
+                                  # one-norm AT target_norm.  The reference's
+                                  # controller (adjust_shift) is rate-only
+                                  # (0.0): it freezes the norm WHEREVER the
+                                  # first crossing + transient left it, which
+                                  # matches the published protocol only when
+                                  # the approach is the slow ~40k-iteration
+                                  # natural growth.  Runs that start near the
+                                  # target need the tracking term so the
+                                  # absolute-walker-unit initiator threshold
+                                  # keeps its published calibration.
     batch: int = 0          # chunk size for spawning (0 = whole arena)
     spawn_rows: int = 0     # spawn only from the first spawn_rows arena
                             # slots (valid entries are a sorted prefix, so
@@ -294,6 +308,15 @@ def make_stepper(spawn_fn, diag_fn, cfg: PowerConfig,
             state.en_shift, glob_norm, state.last_norm, cfg.target_norm,
             cfg.shift_damping / cfg.shift_interval / eps,
         )
+        if cfg.shift_tracking:
+            active = state.last_norm != 0
+            new_shift = jnp.where(
+                active,
+                new_shift
+                - (cfg.shift_tracking / cfg.shift_interval / eps)
+                * jnp.log(glob_norm / cfg.target_norm),
+                new_shift,
+            )
         en_shift = jnp.where(do_shift, new_shift, state.en_shift)
         last_norm = jnp.where(do_shift, new_last, state.last_norm)
 

@@ -134,6 +134,23 @@ def main():
                          "CISD truncation is still a far lower-variance "
                          "estimator, and a smaller trial shrinks the "
                          "H|trial> lookup each iteration pays.")
+    ap.add_argument("--damp", type=float, default=1.0,
+                    help="shift damping.  The published runs use the "
+                         "reference default 0.05 with a ~40k-iteration "
+                         "natural growth phase; starting at --init_frac of "
+                         "the target instead needs DEADBEAT control (1.0: "
+                         "one window cancels the measured growth rate) or "
+                         "the norm overshoots the target ~20x before the "
+                         "rate-only controller engages and the initiator "
+                         "threshold (absolute walker units) loses meaning "
+                         "(measured 2026-08-20: n_a=1.0 run hit norm "
+                         "1.76e7 at S=-14 by iteration 500).")
+    ap.add_argument("--track", type=float, default=0.05,
+                    help="target-tracking shift term (power.PowerConfig."
+                         "shift_tracking): pins the stationary one-norm AT "
+                         "the target so the initiator threshold keeps its "
+                         "published walker-unit calibration; 0 = reference "
+                         "rate-only controller")
     ap.add_argument("--scan", type=int, default=25)
     ap.add_argument("--block", type=int, default=500)
     ap.add_argument("--seed", type=int, default=20)
@@ -159,6 +176,7 @@ def main():
         eps=args.eps, vec_nonz=budget, matr_samp=budget,
         capacity=capacity, spawn_cap=budget + 32_768,
         target_norm=float(budget), init_thresh=args.initiator,
+        shift_damping=args.damp, shift_tracking=args.track,
     )
     determ_keys = None
     if args.determ:
