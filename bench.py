@@ -196,9 +196,10 @@ def bench_fciqmc():
     ham, sys_label = _real_or_synth(
         "n2_stretched", lambda: synth.n2_ccpvdz_like(seed=2),
         "real stretched N2/cc-pVDZ", "N2-stretched-size synthetic")
+    att_chunk = int(os.environ.get("FRIES_FCIQMC_CHUNK", 1 << 20))
     cfg = fciqmc.FciqmcConfig(
         eps=1e-3, target_walkers=5_000_000.0, capacity=1 << 21,
-        attempt_cap=1 << 23, attempt_chunk=1 << 20, spawn_cap=1 << 22,
+        attempt_cap=1 << 23, attempt_chunk=att_chunk, spawn_cap=1 << 22,
         distribution="HB", integer_walkers=True, init_thresh=3.0,
         # deadbeat norm control: damp/(interval*eps)*ln(growth) == the
         # instantaneous growth-rate energy, so one update locks the
@@ -252,9 +253,10 @@ def bench_subsp_sharded():
     from fries_tpu.drivers import subspace
     from fries_tpu.ops import molecule as mol
 
+    subsp_sys = os.environ.get("FRIES_SUBSP_SYSTEM", "ne_ccpvqz")
     ham, sys_label = _real_or_synth(
-        "ne_ccpvqz", lambda: synth.ne_augccpvdz_like(seed=1),
-        "real Ne/cc-pVQZ", "Ne-size synthetic")
+        subsp_sys, lambda: synth.ne_augccpvdz_like(seed=1),
+        f"real {subsp_sys}", "Ne-size synthetic")
     hf_words, hf_occ, _ = mol.hf_reference(ham)
     if sys_label.startswith("real"):
         # symmetry-allowed single: highest occupied -> first same-irrep virt

@@ -78,6 +78,13 @@ class FrisysConfig:
     axis_name: str | None = None
     n_shards: int = 1
     exchange_cap: int = 0
+    spawn_rows: int = 0     # spawn from only the first spawn_rows arena
+                            # rows (power.PowerConfig.spawn_rows): after the
+                            # fused compaction the live prefix is
+                            # <= vec_nonz + protected rows, so a static
+                            # vec_nonz + slack bound halves every
+                            # per-arena-row spawner stage at capacity =
+                            # 2 * vec_nonz (overflow-flagged if violated)
 
     def power(self) -> power.PowerConfig:
         return power.PowerConfig(
@@ -92,6 +99,7 @@ class FrisysConfig:
             axis_name=self.axis_name,
             n_shards=self.n_shards,
             exchange_cap=self.exchange_cap,
+            spawn_rows=self.spawn_rows,
         )
 
 

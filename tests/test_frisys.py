@@ -316,3 +316,34 @@ def test_frisys_with_trial_vector_and_ini_vec():
     bm = np.array([b.sum() / d.sum() for b, d in zip(blocks, dblocks)])
     sigma = bm.std() / np.sqrt(len(bm))
     assert abs(e_est - e0) < max(5 * sigma, 0.02), (e_est, e0, sigma)
+
+
+def test_spawn_rows_prefix_exact():
+    """The prefix spawn bound (PowerConfig.spawn_rows) is bit-exact while
+    the arena's OCCUPIED prefix (which, under the fused compaction, still
+    holds the previous merge's dead rows until the next merge drops them)
+    fits the bound - and must raise the overflow flag when it does not."""
+    n_orb, n_elec = 5, 4
+    ham, h, eris = build_ham(n_orb, n_elec, seed=9)
+
+    def run(spawn_rows):
+        cfg = frisys.FrisysConfig(
+            eps=0.05, vec_nonz=24, matr_samp=200, capacity=256,
+            spawn_cap=512, target_norm=50.0, spawn_rows=spawn_rows,
+        )
+        step, run_steps, state, aux = frisys.build(ham, cfg, seed=3)
+        state, m = run_steps(
+            state, aux["num_keys"], aux["num_vals"], aux["den_keys"],
+            aux["den_vals"], aux["ref_key"], 6)
+        return np.asarray(m["proj_num"]), np.asarray(m["norm"]), \
+            bool(np.asarray(m["overflow"]).any())
+
+    full_num, full_norm, full_ovf = run(0)
+    # full FCI dim is 100 for (5 orb, 4 elec): a 128-row bound always holds
+    pre_num, pre_norm, pre_ovf = run(128)
+    assert not full_ovf and not pre_ovf
+    np.testing.assert_array_equal(full_num, pre_num)
+    np.testing.assert_array_equal(full_norm, pre_norm)
+    # a bound below the merged support must trip the loud overflow abort
+    _, _, tight_ovf = run(64)
+    assert tight_ovf
