@@ -32,28 +32,35 @@ def main():
     from fries_tpu.ops import molecule as mol
 
     ham = real_systems.n2_ccpvdz()
-    hf_dir = "/tmp/n2_hf_dir/"
-    os.makedirs(hf_dir, exist_ok=True)
-    _, _, hf_en = mol.hf_reference(ham)
-    fio.write_hf_dir(ham, hf_dir, eps=0.001, hf_energy=float(hf_en))
+    fcid = "/tmp/n2_real_fcidump"
+    fio.write_fcidump(ham, fcid, point_group="d2h")
 
-    run_dir = "/tmp/cpp_baseline_n2/"
-    os.makedirs(run_dir, exist_ok=True)
-    n_iter = 45
-    cmd = [BIN, "--hf_path", hf_dir, "--target", "1000000",
-           "--distribution", "HB", "--vec_nonz", "1000000",
-           "--mat_nonz", "1000000", "--max_dets", "3000000",
-           "--initiator", "1", "--max_iter", str(n_iter),
-           "--result_dir", run_dir]
-    print("#", " ".join(cmd), flush=True)
-    t0 = time.time()
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
-    wall = time.time() - t0
-    sys.stderr.write(out.stderr[-2000:] + "\n")
-    print(out.stdout[-2000:], flush=True)
-    # wall-clock difference between iteration prints (iters 5..45) is what
-    # round-2 recorded; here just use total wall over the timed iterations
-    sec_per_iter = wall / n_iter
+    def timed(n_iter):
+        run_dir = f"/tmp/cpp_baseline_n2_{n_iter}/"
+        os.makedirs(run_dir, exist_ok=True)
+        cmd = [BIN, "--fcidump_path", fcid, "--epsilon", "0.001", "--point_group", "D2h", "--target", "1000000",
+               "--distribution", "HB", "--vec_nonz", "1000000",
+               "--mat_nonz", "1000000", "--max_dets", "3000000",
+               "--initiator", "1", "--max_iter", str(n_iter),
+               "--result_dir", run_dir]
+        print("#", " ".join(cmd), flush=True)
+        t0 = time.time()
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=7200)
+        wall = time.time() - t0
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-2000:] + "\n")
+            raise SystemExit(f"reference binary failed (rc {out.returncode})")
+        print(out.stdout[-400:], flush=True)
+        return wall
+
+    # subtract setup (HB tensors, FCIDUMP parse) with a two-point measure
+    t5 = timed(5)
+    t45 = timed(45)
+    sec_per_iter = (t45 - t5) / 40.0
+    assert sec_per_iter > 0.05, (
+        f"implausible reference timing ({sec_per_iter}); refusing to "
+        "overwrite the baseline")
     nonz_per_sec = 1_000_000 / sec_per_iter
     print(f"# {sec_per_iter:.3f} s/iter, {nonz_per_sec:.0f} nonzeros/s",
           flush=True)
@@ -68,10 +75,10 @@ def main():
     base["nonzeros_per_sec"] = nonz_per_sec
     base["sec_per_iter"] = sec_per_iter
     base["config"] = ("frisys_mol HB, REAL N2/cc-pVDZ (in-repo integrals "
-                      "via write_hf_dir), vec_nonz=1e6 mat_nonz=1e6 "
+                      "via write_fcidump), vec_nonz=1e6 mat_nonz=1e6 "
                       "eps default, initiator 1, single rank, 1 CPU core")
-    base["note"] = (f"total wall over the first {n_iter} iterations incl. "
-                    "setup; population ramping toward 1e6")
+    base["note"] = ("two-point wall-clock (iters 5..45, setup subtracted); "
+                    "population ramping toward 1e6")
     with open(path, "w") as f:
         json.dump(base, f, indent=1)
     print(f"# wrote {path}")
